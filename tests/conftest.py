@@ -1,0 +1,26 @@
+"""Test config: force an 8-device virtual CPU platform for mesh tests.
+
+Mirrors SURVEY §4's recommendation: real multi-device tests on one host via
+XLA_FLAGS=--xla_force_host_platform_device_count=8.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in flags:
+    # XLA CPU's fast-math exp has ~3e-3 relative error, far worse than the
+    # TPU VPU; disable so numeric tests compare against fp32 oracles.
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

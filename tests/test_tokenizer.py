@@ -1,0 +1,112 @@
+"""Tokenizer tests — round-trips, vocab conventions, spm parity semantics.
+
+Modeled on reference dataset/utils_test.py coverage: label layout (blank at
+0, <sos/eos> last), encode/decode round-trips, OOV → <unk>.
+"""
+
+import numpy as np
+import pytest
+
+from speech2text_tpu.data.spm import UnigramModel, train_unigram
+from speech2text_tpu.data.tokenizer import (BLANK, SOS_EOS, UNK, CharTokenizer,
+                                            CharTokenizerConfig,
+                                            SubwordTokenizer,
+                                            SubwordTokenizerConfig,
+                                            TokenizerSetup)
+
+CORPUS = [
+    "it was locked from the inside and we had to burn it down with a torch",
+    "season with salt and pepper and a little sugar to taste",
+    "struggle warfare was the condition of private ownership it was fatal",
+    "the quick brown fox jumps over the lazy dog",
+    "speech recognition on tensor processing units is fast",
+    "we train subword tokenizers from raw text corpora",
+] * 4
+
+
+class TestCharTokenizer:
+
+    def setup_method(self):
+        self.tok = CharTokenizer(CharTokenizerConfig())
+
+    def test_label_layout(self):
+        assert self.tok.labels[0] == BLANK
+        assert self.tok.labels[1] == UNK
+        assert self.tok.labels[-1] == SOS_EOS
+        assert self.tok.blank_id == 0
+        assert self.tok.sos_eos_id == len(self.tok.labels) - 1
+
+    def test_round_trip(self):
+        text = "hello world's"
+        ids = self.tok.encode(text)
+        assert ids.dtype == np.int32
+        assert self.tok.decode(ids) == text
+
+    def test_oov_maps_to_unk(self):
+        ids = self.tok.encode("héllo")
+        assert ids[1] == self.tok.unk_id
+
+    def test_export_units(self, tmp_path):
+        path = tmp_path / "units.txt"
+        self.tok.export_units(str(path))
+        lines = path.read_text().strip().split("\n")
+        assert lines[0] == f"{BLANK} 0"
+        assert lines[-1] == f"{SOS_EOS} {len(self.tok.labels)-1}"
+
+
+class TestUnigramModel:
+
+    def test_train_encode_decode(self, tmp_path):
+        model = train_unigram(CORPUS, vocab_size=64)
+        # vocab_size counts <unk>/<s>/</s> like sentencepiece
+        assert len(model.pieces) <= 64 - 3
+        for text in ["it was locked", "salt and pepper", "the lazy dog"]:
+            pieces = model.encode_as_pieces(text)
+            assert UnigramModel.decode_pieces(pieces) == text
+        # persistence round trip (json model + spm-style vocab)
+        mp, vp = tmp_path / "tok.model", tmp_path / "tok.vocab"
+        model.save(str(mp), str(vp))
+        loaded = UnigramModel.load(str(mp))
+        assert loaded.pieces == pytest.approx(model.pieces)
+        from_vocab = UnigramModel.load_vocab(str(vp))
+        assert set(from_vocab.pieces) == set(model.pieces)
+
+    def test_unseen_chars_become_unk(self):
+        model = train_unigram(CORPUS, vocab_size=64)
+        pieces = model.encode_as_pieces("zebra ηξ")
+        assert "<unk>" in pieces
+
+
+class TestSubwordTokenizer:
+
+    @pytest.fixture(autouse=True)
+    def _setup(self, tmp_path):
+        model = train_unigram(CORPUS, vocab_size=64)
+        self.mp = str(tmp_path / "tok.model")
+        self.vp = str(tmp_path / "tok.vocab")
+        model.save(self.mp, self.vp)
+        self.tok = SubwordTokenizer(
+            SubwordTokenizerConfig(spm_model=self.mp, spm_vocab=self.vp))
+
+    def test_label_layout(self):
+        assert self.tok.labels[0] == BLANK
+        assert self.tok.labels[-1] == SOS_EOS
+        assert UNK in self.tok.labels
+        # <s>/</s> must not appear (reference dataset/utils.py:104-113)
+        assert "<s>" not in self.tok.labels
+        assert "</s>" not in self.tok.labels
+
+    def test_round_trip(self):
+        text = "season with salt and pepper"
+        ids = self.tok.encode(text)
+        assert (ids > 0).all()  # never emits blank
+        assert self.tok.decode(ids) == text
+
+    def test_factory(self):
+        tok = TokenizerSetup({
+            "type": "subword",
+            "config": {"spm_model": self.mp, "spm_vocab": self.vp},
+        })
+        assert isinstance(tok, SubwordTokenizer)
+        tok2 = TokenizerSetup({"type": "char", "config": {}})
+        assert isinstance(tok2, CharTokenizer)
