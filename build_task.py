@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Training entry point (reference build_task.py:48-148 surface parity).
+
+Usage:
+  python build_task.py --training_config=configs/training/conformer_ctc.yaml
+      [--override a.b.c=value ...] [--max_steps N]
+
+YAML → task → Trainer.fit: seeds, logging to export dir, config backup,
+subword-model preprocess, finetune-from-checkpoint (file or top-k average),
+resume.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+from absl import app, flags
+
+from speech2text_tpu.config import backup_config, load_config, override
+from speech2text_tpu.tasks import TaskFactory
+from speech2text_tpu.tools.spm_train import spm_training_preprocess
+from speech2text_tpu.train import Trainer
+from speech2text_tpu.utils.logging import get_logger, init_logging
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("training_config", None, "YAML of Training setup.")
+flags.DEFINE_multi_string("override", [], "dotted-key config overrides")
+flags.DEFINE_integer("max_steps", None, "optional step cap (smoke runs)")
+flags.mark_flag_as_required("training_config")
+
+
+def run_task(argv):
+    del argv
+    config = load_config(FLAGS.training_config)
+    for ov in FLAGS.override:
+        key, _, value = ov.partition("=")
+        override(config, key, value)
+
+    task_section = config["task"]
+    workdir = os.path.join(task_section["export_path"], task_section["name"])
+    os.makedirs(workdir, exist_ok=True)
+    init_logging(os.path.join(workdir, "run.log"))
+    log = get_logger()
+
+    seed = int(config.get("seed", 1234))
+    random.seed(seed)
+    np.random.seed(seed)
+
+    config = spm_training_preprocess(config)
+    # back up the RESOLVED config (post-spm-rewrite) so the workdir yaml is
+    # self-contained for inference (reference backs up then rewrites at
+    # inference time; we do both — see inference.py spm fallback)
+    import yaml
+    with open(os.path.join(workdir,
+                           os.path.basename(FLAGS.training_config)),
+              "w") as f:
+        yaml.safe_dump(config, f)
+    task_cls = TaskFactory(task_section["type"])
+    task = task_cls(config)
+    log.info("task %s (%s): vocab=%d", task_section["name"],
+             task_section["type"], len(task.tokenizer))
+
+    finetune_params = None
+    ft = config.get("finetune") or {}
+    base = ft.get("base_model")
+    if base:
+        from speech2text_tpu.train.checkpoint import (CheckpointManager,
+                                                      average_checkpoints)
+        if os.path.isdir(base) and os.path.exists(
+                os.path.join(base, "index.json")):
+            finetune_params = average_checkpoints(
+                base, best_k=int(ft.get("best_k", 5)))
+        else:
+            mgr = CheckpointManager(os.path.dirname(base) or base)
+            finetune_params = mgr.restore(mgr.latest_step())["params"]
+
+    trainer = Trainer(task, config, workdir, seed=seed)
+    result = trainer.fit(resume=config.get("resume"),
+                         finetune_params=finetune_params,
+                         max_steps=FLAGS.max_steps)
+    log.info("training done: %s", result)
+
+
+if __name__ == "__main__":
+    app.run(run_task)

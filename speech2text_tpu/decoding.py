@@ -1,0 +1,326 @@
+"""Decoding sessions: CTC greedy, RNN-T greedy/beam, CIF greedy.
+
+Parity surface with reference model/decoding.py:32-435, redesigned for TPU:
+the reference decodes batch entries one at a time with Python frame loops
+and per-token device→host syncs (decoding.py:225-271, noted as a hot loop in
+SURVEY §3.2); here every decoder is a single jitted `lax.scan` over frames,
+vectorized over the whole batch (and beam), with one host transfer at the
+end. Emission bounds mirror the reference: `max_token_step` per frame for
+greedy (decoding.py:208-215), ≤1 emission per frame for beam
+(decoding.py:296-299).
+
+Text conversion (token ids → string via tokenizer) happens host-side after
+the device loop, as in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .data.tokenizer import Tokenizer
+
+NEG_INF = -1e30
+
+
+# ------------------------------------------------------------------ helpers
+def ids_to_texts(tokens: np.ndarray, counts: np.ndarray,
+                 tokenizer: Tokenizer) -> List[str]:
+    out = []
+    for row, n in zip(tokens, counts):
+        out.append(tokenizer.decode(row[:int(n)]))
+    return out
+
+
+def reference_decoder(labels: np.ndarray, label_lengths: np.ndarray,
+                      tokenizer: Tokenizer) -> List[str]:
+    """Ground-truth label tensor → texts (reference decoding.py:157-177)."""
+    return [tokenizer.decode(row[:int(n)])
+            for row, n in zip(np.asarray(labels), np.asarray(label_lengths))]
+
+
+# ------------------------------------------------------------------- CTC
+@partial(jax.jit, static_argnames=("blank",))
+def ctc_greedy_reduce(log_probs: jnp.ndarray, lengths: jnp.ndarray,
+                      blank: int = 0):
+    """(B, T, V) → (tokens (B, T), counts (B,)): argmax → collapse repeats →
+    drop blanks (reference decoding.py:51-82 semantics), fully vectorized:
+    tokens are compacted to the front via a cumulative-count scatter."""
+    B, T, V = log_probs.shape
+    best = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)     # (B, T)
+    prev = jnp.pad(best, ((0, 0), (1, 0)), constant_values=blank)[:, :T]
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    keep = (best != blank) & (best != prev) & (t_idx[None, :]
+                                               < lengths[:, None])
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1        # target slot
+    # discarded tokens scatter out of bounds and are dropped
+    pos = jnp.where(keep, pos, T)
+    out = jnp.zeros((B, T), jnp.int32)
+    out = out.at[jnp.arange(B)[:, None], pos].set(best, mode="drop")
+    counts = jnp.sum(keep, axis=1)
+    return out, counts
+
+
+class CtcGreedyDecoding:
+
+    def __init__(self, tokenizer: Tokenizer, blank: int = 0):
+        self._tokenizer = tokenizer
+        self._blank = blank
+
+    def decode(self, log_probs, lengths) -> List[str]:
+        toks, counts = ctc_greedy_reduce(log_probs, lengths,
+                                         blank=self._blank)
+        return ids_to_texts(np.asarray(toks), np.asarray(counts),
+                            self._tokenizer)
+
+
+class CtcPrefixBeamDecoding:
+    """Pure-Python CTC prefix beam search (host-side fallback; the
+    deployment lexicon/KenLM decoder lives in runtime/ as C++, mirroring
+    the reference's flashlight-text split, decoding.py:85-154)."""
+
+    def __init__(self, tokenizer: Tokenizer, beam_size: int = 8,
+                 blank: int = 0):
+        self._tokenizer = tokenizer
+        self._beam = beam_size
+        self._blank = blank
+
+    def decode(self, log_probs, lengths) -> List[str]:
+        lp = np.asarray(log_probs)
+        lens = np.asarray(lengths)
+        out = []
+        for b in range(lp.shape[0]):
+            out.append(self._decode_one(lp[b, :int(lens[b])]))
+        return out
+
+    def _decode_one(self, lp: np.ndarray) -> str:
+        # beams: prefix tuple → (p_blank, p_nonblank) in log space
+        beams = {(): (0.0, NEG_INF)}
+        for t in range(lp.shape[0]):
+            new = {}
+            top_v = np.argsort(lp[t])[::-1][:max(self._beam * 2, 8)]
+            for prefix, (pb, pnb) in beams.items():
+                p_tot = np.logaddexp(pb, pnb)
+                for v in top_v:
+                    p = lp[t, v]
+                    if v == self._blank:
+                        nb, nn = new.get(prefix, (NEG_INF, NEG_INF))
+                        new[prefix] = (np.logaddexp(nb, p_tot + p), nn)
+                        continue
+                    last = prefix[-1] if prefix else None
+                    ext = prefix + (int(v),)
+                    nb, nn = new.get(ext, (NEG_INF, NEG_INF))
+                    if v == last:
+                        # repeat: extend only from blank-ended mass
+                        new[ext] = (nb, np.logaddexp(nn, pb + p))
+                        nb2, nn2 = new.get(prefix, (NEG_INF, NEG_INF))
+                        new[prefix] = (nb2, np.logaddexp(nn2, pnb + p))
+                    else:
+                        new[ext] = (nb, np.logaddexp(nn, p_tot + p))
+            beams = dict(sorted(new.items(),
+                                key=lambda kv: -np.logaddexp(*kv[1]))
+                         [:self._beam])
+        best = max(beams.items(), key=lambda kv: np.logaddexp(*kv[1]))[0]
+        return self._tokenizer.decode(np.asarray(best, np.int32))
+
+
+# ------------------------------------------------------------------ RNN-T
+class RnntGreedyDecoding:
+    """Batched greedy transducer decode as one lax.scan over frames.
+
+    Reference semantics (decoding.py:196-271): at each frame, join encoder
+    frame with current predictor output; emit argmax unless blank; at most
+    `max_token_step` emissions per frame before advancing time.
+    """
+
+    def __init__(self, tokenizer: Tokenizer, predictor_apply: Callable,
+                 predictor_init_state: Callable, joiner_apply: Callable,
+                 max_token_step: int = 1, max_tokens: int = 256):
+        self._tokenizer = tokenizer
+        # callables take params first: (params, token (B,), state) → (out, state)
+        self._pred_step = predictor_apply
+        self._pred_init = predictor_init_state  # (B) → state (no params)
+        self._join = joiner_apply  # (params, enc (B,D), pred (B,D)) → logp (B,V)
+        self._max_token_step = max(1, int(max_token_step))
+        self._cap = max_tokens
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _decode_jit(self, params, enc_out, enc_lens):
+        B, T, D = enc_out.shape
+        cap = self._cap
+        state0 = self._pred_init(B)
+        pred0, state0 = self._pred_step(params, jnp.zeros((B,), jnp.int32),
+                                        state0)
+
+        def frame(carry, xs):
+            state, pred_out, tokens, counts = carry
+            enc_t, t = xs
+            active0 = t < enc_lens
+            for _ in range(self._max_token_step):
+                logp = self._join(params, enc_t, pred_out[:, 0])
+                tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                emit = active0 & (tok != 0) & (counts < cap)
+                slot = jnp.arange(cap, dtype=jnp.int32)
+                write = emit[:, None] & (slot[None, :] == counts[:, None])
+                tokens = jnp.where(write, tok[:, None], tokens)
+                counts = counts + emit.astype(jnp.int32)
+                new_pred, new_state = self._pred_step(params, tok, state)
+                pred_out = jnp.where(emit[:, None, None], new_pred, pred_out)
+                state = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        emit.reshape((B,) + (1,) * (o.ndim - 1)), n, o),
+                    new_state, state)
+            return (state, pred_out, tokens, counts), None
+
+        tokens = jnp.zeros((B, cap), jnp.int32)
+        counts = jnp.zeros((B,), jnp.int32)
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (_, _, tokens, counts), _ = lax.scan(
+            frame, (state0, pred0, tokens, counts),
+            (enc_out.swapaxes(0, 1), ts))
+        return tokens, counts
+
+    def decode(self, params, enc_out, enc_lens) -> List[str]:
+        tokens, counts = self._decode_jit(params, enc_out, enc_lens)
+        return ids_to_texts(np.asarray(tokens), np.asarray(counts),
+                            self._tokenizer)
+
+
+class RnntBeamDecoding:
+    """Batched beam transducer decode (≤1 emission/frame, reference
+    decoding.py:278-425) as one lax.scan; beams are a (B, W) tensor
+    dimension, pruning via top-k over W·(K+1) candidates per frame."""
+
+    def __init__(self, tokenizer: Tokenizer, predictor_apply: Callable,
+                 predictor_init_state: Callable, joiner_apply: Callable,
+                 beam_size: int = 4, cutoff_top_k: int = 4,
+                 max_tokens: int = 256):
+        self._tokenizer = tokenizer
+        self._pred_step = predictor_apply
+        self._pred_init = predictor_init_state
+        self._join = joiner_apply
+        self._W = beam_size
+        self._K = cutoff_top_k
+        self._cap = max_tokens
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _decode_jit(self, params, enc_out, enc_lens):
+        B, T, D = enc_out.shape
+        W, K, cap = self._W, self._K, self._cap
+        BW = B * W
+
+        state = self._pred_init(BW)
+        pred, state = self._pred_step(params, jnp.zeros((BW,), jnp.int32),
+                                      state)
+        scores = jnp.full((B, W), NEG_INF).at[:, 0].set(0.0)
+        tokens = jnp.zeros((B, W, cap), jnp.int32)
+        counts = jnp.zeros((B, W), jnp.int32)
+        b_idx = jnp.arange(B, dtype=jnp.int32)
+
+        def frame(carry, xs):
+            state, pred, scores, tokens, counts = carry
+            enc_t, t = xs                                 # (B, D), scalar
+            active = (t < enc_lens)                       # (B,)
+            enc_bw = jnp.repeat(enc_t, W, axis=0)         # (BW, D)
+            logp = self._join(params, enc_bw, pred[:, 0]).reshape(B, W, -1)
+            V = logp.shape[-1]
+            blank_sc = scores + logp[..., 0]              # (B, W)
+            emit_lp = logp.at[..., 0].set(NEG_INF)
+            top_lp, top_tok = lax.top_k(emit_lp, K)       # (B, W, K)
+            emit_sc = scores[..., None] + top_lp          # (B, W, K)
+            # candidates: [W blanks] ++ [W*K emits]
+            cand_sc = jnp.concatenate(
+                [blank_sc, emit_sc.reshape(B, W * K)], axis=1)
+            sel_sc, sel = lax.top_k(cand_sc, W)           # (B, W)
+            is_emit = sel >= W
+            parent = jnp.where(is_emit, (sel - W) // K, sel)
+            k_slot = jnp.clip(sel - W, 0, W * K - 1)
+            tok = jnp.take_along_axis(
+                top_tok.reshape(B, W * K), k_slot, axis=1)
+            tok = jnp.where(is_emit, tok, 0)
+
+            # gather parents
+            def g(x):  # (B, W, ...) gather along beam dim
+                return jnp.take_along_axis(
+                    x, parent.reshape(B, W, *([1] * (x.ndim - 2))), axis=1)
+
+            new_tokens = g(tokens)
+            new_counts = g(counts[..., None])[..., 0]
+            slot = jnp.arange(cap, dtype=jnp.int32)
+            write = (is_emit[..., None]
+                     & (slot[None, None, :] == new_counts[..., None])
+                     & (new_counts[..., None] < cap))
+            new_tokens = jnp.where(write, tok[..., None], new_tokens)
+            new_counts = new_counts + (is_emit
+                                       & (new_counts < cap)).astype(jnp.int32)
+
+            # predictor advance for emitted beams
+            def gs(x):  # state leaves have leading dim BW
+                xr = x.reshape(B, W, *x.shape[1:])
+                out = jnp.take_along_axis(
+                    xr, parent.reshape(B, W, *([1] * (x.ndim - 1))), axis=1)
+                return out.reshape(BW, *x.shape[1:])
+
+            par_state = jax.tree.map(gs, state)
+            par_pred = gs(pred)
+            stepped_pred, stepped_state = self._pred_step(
+                params, tok.reshape(BW), par_state)
+            emit_bw = (is_emit & active[:, None]).reshape(BW)
+            new_pred = jnp.where(emit_bw[:, None, None], stepped_pred,
+                                 par_pred)
+            new_state = jax.tree.map(
+                lambda n, o: jnp.where(
+                    emit_bw.reshape((BW,) + (1,) * (o.ndim - 1)), n, o),
+                stepped_state, par_state)
+
+            # frames beyond enc_len: carry previous beams through unchanged
+            keep = active[:, None]
+            scores_out = jnp.where(keep, sel_sc, scores)
+            tokens_out = jnp.where(keep[..., None], new_tokens, tokens)
+            counts_out = jnp.where(keep, new_counts, counts)
+            state_out = new_state
+            pred_out = new_pred
+            return (state_out, pred_out, scores_out, tokens_out,
+                    counts_out), None
+
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (state, pred, scores, tokens, counts), _ = lax.scan(
+            frame, (state, pred, scores, tokens, counts),
+            (enc_out.swapaxes(0, 1), ts))
+        best = jnp.argmax(scores, axis=1)
+        best_tokens = tokens[b_idx, best]
+        best_counts = counts[b_idx, best]
+        return best_tokens, best_counts
+
+    def decode(self, params, enc_out, enc_lens) -> List[str]:
+        tokens, counts = self._decode_jit(params, enc_out, enc_lens)
+        return ids_to_texts(np.asarray(tokens), np.asarray(counts),
+                            self._tokenizer)
+
+
+# ------------------------------------------------------------------- CIF
+class CifGreedyDecoding:
+    """Non-autoregressive per-position argmax (reference
+    decoding.py:180-193)."""
+
+    def __init__(self, tokenizer: Tokenizer):
+        self._tokenizer = tokenizer
+
+    def decode(self, log_probs, token_lens) -> List[str]:
+        best = np.asarray(jnp.argmax(log_probs, axis=-1))
+        return ids_to_texts(best, np.asarray(token_lens), self._tokenizer)
+
+
+class DecodeMethod(Enum):
+    ctc_greedy_search = "ctc_greedy_search"
+    ctc_prefix_beam_search = "ctc_prefix_beam_search"
+    rnnt_greedy_search = "rnnt_greedy_search"
+    rnnt_beam_search = "rnnt_beam_search"
+    cif_greedy_search = "cif_greedy_search"

@@ -1,0 +1,83 @@
+"""CTC task: encoder → decoder head → CTC loss; eval WER via greedy decode.
+
+Parity with reference task_factory/ctc_task.py:32-227 (cmvn→enc→dec→
+CtcLoss; validation WER on log-softmax of decoder output), reorganized as a
+pure `loss_fn(params, batch, rng, step)` for one jitted pjit train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..decoding import CtcGreedyDecoding, CtcPrefixBeamDecoding
+from ..losses import Loss
+from ..models.factories import DecoderFactory, EncoderFactory
+from .base import AsrTaskBase
+
+
+class CtcModel(nn.Module):
+    encoder: nn.Module
+    decoder: nn.Module
+
+    def __call__(self, feats, feat_lens, deterministic: bool = True):
+        enc, lens = self.encoder(feats, feat_lens, deterministic)
+        logits, lens = self.decoder(enc, lens, deterministic)
+        return logits, lens
+
+
+class CtcTask(AsrTaskBase):
+    task_type = "CTC"
+
+    def __init__(self, config: Dict[str, Any]):
+        super().__init__(config)
+        self.model = CtcModel(EncoderFactory(config["encoder"]),
+                              DecoderFactory(config["decoder"]))
+        self.loss = Loss(config["loss"])
+        metric_cfg = config.get("metric", {}) or {}
+        method = metric_cfg.get("decode_method", "ctc_greedy_search")
+        if method == "ctc_prefix_beam_search":
+            self.decode_session = CtcPrefixBeamDecoding(
+                self.tokenizer, beam_size=metric_cfg.get("beam_size", 8))
+        else:
+            self.decode_session = CtcGreedyDecoding(self.tokenizer)
+
+    # ---------------------------------------------------------------- init
+    def init(self, rng: jax.Array):
+        batch = self.example_batch()
+        feats, lens = self.featurize(batch, None, training=False)
+        return self.model.init({"params": rng}, feats, lens)["params"]
+
+    # ------------------------------------------------------------- training
+    def loss_fn(self, params, batch, rng, step
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        k_aug, k_drop = jax.random.split(rng)
+        feats, feat_lens = self.featurize(batch, k_aug, training=True)
+        logits, out_lens = self.model.apply(
+            {"params": params}, feats, feat_lens, deterministic=False,
+            rngs={"dropout": k_drop})
+        loss = self.loss({"logits": logits, "logits_length": out_lens,
+                          "label": batch["label"],
+                          "label_length": batch["label_length"]})
+        frames = jnp.sum(feat_lens)
+        return loss, {"train_loss": loss, "frames": frames}
+
+    # ------------------------------------------------------------ evaluation
+    def eval_forward(self, params, batch):
+        """Jit-safe eval tensor pass: returns arrays only."""
+        feats, feat_lens = self.featurize(batch, None, training=False)
+        logits, out_lens = self.model.apply({"params": params}, feats,
+                                            feat_lens, deterministic=True)
+        loss = self.loss({"logits": logits, "logits_length": out_lens,
+                          "label": batch["label"],
+                          "label_length": batch["label_length"]})
+        log_probs = self.loss.predict(logits)
+        return {"val_loss": loss, "log_probs": log_probs,
+                "out_lens": out_lens}
+
+    def eval_hyps(self, eval_out) -> List[str]:
+        return self.decode_session.decode(eval_out["log_probs"],
+                                          eval_out["out_lens"])

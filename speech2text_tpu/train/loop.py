@@ -1,0 +1,238 @@
+"""Explicit training loop: jitted pjit train step over the device mesh.
+
+Replaces pl.Trainer (reference build_task.py:143-148): steps, eval cadence,
+top-k checkpointing, gradient accumulation, clipping, LR logging, and
+throughput counters (utterances/sec, frames/sec — the BASELINE metrics,
+SURVEY §5 'tracing') are all explicit here.
+
+`trainer:` YAML section mapping (reference keys honored where meaningful):
+  max_epochs / max_steps, accumulate_grad_batches, gradient_clip_val,
+  val_check_interval (fraction of an epoch or absolute steps), log_interval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..metrics import AsrMetric
+from ..optim import OptimSetup
+from ..parallel.mesh import (MeshConfig, batch_sharding, make_mesh,
+                             replicated, shard_batch, shard_params)
+from ..utils.logging import get_logger
+from .checkpoint import CheckpointManager
+
+log = get_logger(__name__)
+
+
+class Trainer:
+
+    def __init__(self, task, config: Dict[str, Any], workdir: str,
+                 seed: int = 17, mesh=None, fsdp: bool = False):
+        self.task = task
+        self.config = config
+        tcfg = config.get("trainer", {}) or {}
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        self.fsdp = fsdp
+
+        tx, self.schedule = OptimSetup(config["optim_setup"])
+        clip_val = tcfg.get("gradient_clip_val")
+        opt_type = config["optim_setup"]["optimizer"]["type"]
+        if clip_val and opt_type != "ScaledAdam":
+            # ScaledAdam has its own median-based adaptive clipping
+            tx = optax.chain(optax.clip_by_global_norm(float(clip_val)), tx)
+        self.accum = int(tcfg.get("accumulate_grad_batches", 1) or 1)
+        if self.accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accum)
+        self.tx = tx
+
+        self.max_epochs = tcfg.get("max_epochs")
+        self.max_steps = tcfg.get("max_steps")
+        self.val_check_interval = tcfg.get("val_check_interval", 1.0)
+        self.log_interval = int(tcfg.get("log_interval", 50))
+
+        ck = (config.get("callbacks", {}) or {}).get("model_chkpt_config",
+                                                     {}) or {}
+        self.ckpt = CheckpointManager(
+            os.path.join(workdir, "checkpoints"),
+            save_top_k=int(ck.get("save_top_k", 10)),
+            monitor=ck.get("monitor", "wer"),
+            mode=ck.get("mode", "min"))
+        self._metrics_file = open(os.path.join(workdir, "metrics.jsonl"),
+                                  "a")
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, resume: Optional[str] = None,
+            finetune_params: Optional[Any] = None,
+            max_steps: Optional[int] = None) -> Dict[str, float]:
+        task = self.task
+        n_data = self.mesh.shape["data"]
+        task.data_config.batch_multiple = n_data
+
+        shard_idx = jax.process_index()
+        n_shards = jax.process_count()
+        train_pipe = task.make_train_pipeline(shard_idx, n_shards,
+                                              seed=self.seed)
+        steps_per_epoch = max(train_pipe.batches_per_epoch(), 1)
+        if max_steps is None:
+            max_steps = self.max_steps
+        if max_steps is None:
+            epochs = self.max_epochs or 1
+            max_steps = steps_per_epoch * epochs * self.accum
+        if self.val_check_interval and self.val_check_interval <= 1.0:
+            val_every = max(int(steps_per_epoch * self.accum
+                                * self.val_check_interval), 1)
+        else:
+            val_every = int(self.val_check_interval)
+
+        # ---- init / restore
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        params = task.init(init_rng)
+        if finetune_params is not None:
+            params = _merge_params(params, finetune_params)
+            log.info("loaded finetune base params")
+        opt_state = self.tx.init(params)
+        step = 0
+        def _abs(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+            return x
+        abstract = jax.tree.map(
+            _abs, {"params": params, "opt_state": opt_state, "step": 0})
+        restored = None
+        if resume:
+            mgr = self.ckpt if os.path.abspath(resume) == \
+                self.ckpt.directory else CheckpointManager(resume)
+            restored = mgr.restore_latest(abstract)
+        elif self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore_latest(abstract)
+        if restored is not None:
+            step, state = restored
+            params, opt_state = state["params"], state["opt_state"]
+
+        # ---- shardings
+        p_shard = shard_params(self.mesh, params, fsdp=self.fsdp)
+        params = jax.device_put(params, p_shard)
+        o_shard = shard_params(self.mesh, opt_state, fsdp=self.fsdp)
+        opt_state = jax.device_put(opt_state, o_shard)
+        rep = replicated(self.mesh)
+
+        def train_step(params, opt_state, batch, rng, step_idx):
+            def lf(p):
+                return task.loss_fn(p, batch, rng, step_idx)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, opt_state2 = self.tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params2, opt_state2, metrics
+
+        jstep = jax.jit(
+            train_step,
+            in_shardings=(p_shard, o_shard, batch_sharding(self.mesh),
+                          rep, rep),
+            out_shardings=(p_shard, o_shard, rep),
+            donate_argnums=(0, 1))
+
+        # ---- loop
+        log.info("training: %d steps (%d/epoch, accum %d, mesh %s)",
+                 max_steps, steps_per_epoch, self.accum,
+                 dict(self.mesh.shape))
+        t_last = time.time()
+        utts, frames = 0, 0
+        last_eval: Dict[str, float] = {}
+        train_iter = iter(train_pipe)
+        with self.mesh:
+            while step < max_steps:
+                batch = next(train_iter)
+                utts += next(v.shape[0] for v in batch.values()
+                             if hasattr(v, "shape"))
+                dbatch = shard_batch(self.mesh, batch)
+                rng, k = jax.random.split(rng)
+                params, opt_state, metrics = jstep(
+                    params, opt_state, dbatch, k,
+                    jnp.asarray(step // self.accum, jnp.int32))
+                step += 1
+                if step % self.log_interval == 0:
+                    metrics = jax.device_get(metrics)
+                    frames = float(metrics.pop("frames", 0))
+                    dt = time.time() - t_last
+                    lr = float(self.schedule(step // self.accum))
+                    rec = {"step": step,
+                           "loss": float(metrics.get("train_loss", 0)),
+                           "lr": lr,
+                           "utts_per_sec": utts / dt,
+                           **{k: float(v) for k, v in metrics.items()}}
+                    log.info(" ".join(f"{k}={v:.5g}" if isinstance(v, float)
+                                      else f"{k}={v}"
+                                      for k, v in rec.items()))
+                    self._metrics_file.write(json.dumps(rec) + "\n")
+                    self._metrics_file.flush()
+                    t_last, utts = time.time(), 0
+                if step % val_every == 0 or step == max_steps:
+                    last_eval = self.evaluate(params)
+                    self.ckpt.save(
+                        step,
+                        {"params": jax.device_get(params),
+                         "opt_state": jax.device_get(opt_state),
+                         "step": step},
+                        metrics=last_eval)
+        return last_eval
+
+    # ------------------------------------------------------------- evaluate
+    def evaluate(self, params) -> Dict[str, float]:
+        task = self.task
+        pipe = task.make_eval_pipeline()
+        metric = AsrMetric()
+        scalars: Dict[str, list] = {}
+        eval_fwd = jax.jit(task.eval_forward)
+        from ..decoding import reference_decoder
+        with self.mesh:
+            for batch in pipe:
+                arrays = {k: v for k, v in batch.items()
+                          if not isinstance(v, list)}
+                out = eval_fwd(params, arrays)
+                for k, v in out.items():
+                    if hasattr(v, "ndim") and v.ndim == 0:
+                        scalars.setdefault(k, []).append(float(v))
+                hyps = task.eval_hyps(out)
+                if hyps:
+                    refs = reference_decoder(batch["label"],
+                                             batch["label_length"],
+                                             task.tokenizer)
+                    metric.update(hyps, refs)
+        result = {k: float(np.mean(v)) for k, v in scalars.items()}
+        if metric.num_utts:
+            result["wer"] = metric.compute()
+        log.info("eval: %s (%d utts)",
+                 " ".join(f"{k}={v:.4f}" for k, v in result.items()),
+                 metric.num_utts)
+        return result
+
+
+def _merge_params(init_params, loaded):
+    """strict=False finetune load (reference build_task.py:85-94): copy
+    matching leaves, keep fresh init for missing/mismatched."""
+    flat_i = dict(jax.tree_util.tree_flatten_with_path(init_params)[0])
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    merged = []
+    for path, leaf in flat_i.items():
+        cand = flat_l.get(path)
+        if cand is not None and cand.shape == leaf.shape:
+            merged.append(cand)
+        else:
+            merged.append(leaf)
+    treedef = jax.tree_util.tree_structure(init_params)
+    return jax.tree_util.tree_unflatten(treedef, merged)

@@ -1,0 +1,144 @@
+"""Decoding tests: exact CTC collapse semantics on hand-built logits
+(mirrors reference model/decoding_test.py:21-116), RNN-T greedy/beam on a
+controlled fake joiner, reference_decoder round trip."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from speech2text_tpu.data.tokenizer import CharTokenizer
+from speech2text_tpu.decoding import (CtcGreedyDecoding,
+                                      CtcPrefixBeamDecoding,
+                                      RnntBeamDecoding, RnntGreedyDecoding,
+                                      ctc_greedy_reduce, reference_decoder)
+
+TOK = CharTokenizer()  # labels: <blank_id>, <unk>, a..z, ', ' ', <sos/eos>
+
+
+def one_hot_logits(ids, V, scale=5.0):
+    """(T,) ids → (T, V) logits peaking at ids."""
+    T = len(ids)
+    out = np.full((T, V), -1.0, np.float32)
+    out[np.arange(T), ids] = scale
+    return out
+
+
+class TestCtcGreedy:
+
+    def test_collapse_semantics(self):
+        V = len(TOK)
+        a, b, c = TOK.encode("abc").tolist()
+        # frames: a a <b> a b b <b> <b> c
+        ids = [a, a, 0, a, b, b, 0, 0, c]
+        lp = one_hot_logits(ids, V)[None]
+        toks, counts = ctc_greedy_reduce(jnp.asarray(lp), jnp.asarray([9]))
+        assert int(counts[0]) == 4
+        np.testing.assert_array_equal(np.asarray(toks[0, :4]), [a, a, b, c])
+        sess = CtcGreedyDecoding(TOK)
+        assert sess.decode(jnp.asarray(lp), jnp.asarray([9])) == ["aabc"]
+
+    def test_length_masking(self):
+        V = len(TOK)
+        a, b = TOK.encode("ab").tolist()
+        ids = [a, 0, b, b, b]
+        lp = one_hot_logits(ids, V)[None]
+        sess = CtcGreedyDecoding(TOK)
+        # full length → "ab"; truncated to 2 → "a"
+        assert sess.decode(jnp.asarray(lp), jnp.asarray([5])) == ["ab"]
+        assert sess.decode(jnp.asarray(lp), jnp.asarray([2])) == ["a"]
+
+    def test_all_blank(self):
+        V = len(TOK)
+        lp = one_hot_logits([0, 0, 0], V)[None]
+        sess = CtcGreedyDecoding(TOK)
+        assert sess.decode(jnp.asarray(lp), jnp.asarray([3])) == [""]
+
+    def test_prefix_beam_matches_greedy_on_peaked(self):
+        V = len(TOK)
+        a, b, c = TOK.encode("abc").tolist()
+        ids = [a, 0, b, 0, c]
+        lp = np.log(np.maximum(
+            np.exp(one_hot_logits(ids, V, scale=8.0))
+            / np.exp(one_hot_logits(ids, V, scale=8.0)).sum(-1,
+                                                            keepdims=True),
+            1e-10))
+        sess = CtcPrefixBeamDecoding(TOK, beam_size=4)
+        assert sess.decode(lp[None], np.asarray([5])) == ["abc"]
+
+
+def fake_rnnt_sessions(V, beam=False, **kw):
+    """Fake predictor/joiner: predictor state = last token embedding-free;
+    joiner logp = log_softmax(enc_frame) (predictor ignored) — so greedy
+    follows per-frame argmax with transducer emission rules."""
+    import jax
+
+    def pred_step(params, token, state):
+        return jnp.zeros((token.shape[0], 1, 4), jnp.float32), state
+
+    def pred_init(B):
+        return jnp.zeros((B, 1), jnp.int32)
+
+    def join(params, enc_frame, pred_out):
+        return jax.nn.log_softmax(enc_frame, axis=-1)
+
+    cls = RnntBeamDecoding if beam else RnntGreedyDecoding
+    return cls(TOK, pred_step, pred_init, join, **kw)
+
+
+class TestRnntGreedy:
+
+    def test_emission_rules(self):
+        V = len(TOK)
+        a, b = TOK.encode("ab").tolist()
+        # frames: emit a, blank, emit b, blank
+        enc = one_hot_logits([a, 0, b, 0], V)[None]
+        sess = fake_rnnt_sessions(V)
+        out = sess.decode(None, jnp.asarray(enc), jnp.asarray([4]))
+        assert out == ["ab"]
+
+    def test_max_token_step_bounds_emissions(self):
+        V = len(TOK)
+        a = TOK.encode("a").tolist()[0]
+        enc = one_hot_logits([a, a], V)[None]
+        # fake joiner ignores predictor → same argmax repeats within frame
+        sess1 = fake_rnnt_sessions(V, max_token_step=1)
+        out1 = sess1.decode(None, jnp.asarray(enc), jnp.asarray([2]))
+        assert out1 == ["aa"]
+        sess2 = fake_rnnt_sessions(V, max_token_step=3)
+        out2 = sess2.decode(None, jnp.asarray(enc), jnp.asarray([2]))
+        assert out2 == ["aaaaaa"]  # 3 per frame × 2 frames
+
+    def test_length_masking(self):
+        V = len(TOK)
+        a, b = TOK.encode("ab").tolist()
+        enc = one_hot_logits([a, b], V)[None]
+        sess = fake_rnnt_sessions(V)
+        assert sess.decode(None, jnp.asarray(enc), jnp.asarray([1])) == ["a"]
+
+
+class TestRnntBeam:
+
+    def test_beam1_matches_greedy(self):
+        V = len(TOK)
+        rng = np.random.default_rng(3)
+        enc = rng.standard_normal((2, 6, V)).astype(np.float32)
+        lens = np.asarray([6, 4])
+        g = fake_rnnt_sessions(V, max_token_step=1)
+        b = fake_rnnt_sessions(V, beam=True, beam_size=1, cutoff_top_k=1)
+        assert g.decode(None, jnp.asarray(enc), jnp.asarray(lens)) == \
+            b.decode(None, jnp.asarray(enc), jnp.asarray(lens))
+
+    def test_beam_runs_wider(self):
+        V = len(TOK)
+        rng = np.random.default_rng(4)
+        enc = rng.standard_normal((1, 5, V)).astype(np.float32)
+        sess = fake_rnnt_sessions(V, beam=True, beam_size=4, cutoff_top_k=3)
+        out = sess.decode(None, jnp.asarray(enc), jnp.asarray([5]))
+        assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_reference_decoder():
+    ids = TOK.encode("hello world")
+    labels = np.zeros((1, 16), np.int32)
+    labels[0, :len(ids)] = ids
+    out = reference_decoder(labels, np.asarray([len(ids)]), TOK)
+    assert out == ["hello world"]

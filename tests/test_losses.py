@@ -1,0 +1,347 @@
+"""Loss-kernel tests against independent oracles.
+
+- CTC vs torch.nn.CTCLoss (values + input gradients)
+- RNN-T vs a brute-force per-sequence numpy lattice DP (+ torch autograd
+  gradients of the same DP)
+- pruned RNN-T trio vs brute-force DPs and k2 invariants
+
+Mirrors reference test strategy (model/loss/*_test.py) of hand-checkable
+small shapes plus parameterized batch sweeps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from speech2text_tpu.ops.ctc import ctc_loss
+from speech2text_tpu.ops.pruned_rnnt import (do_rnnt_pruning,
+                                             get_rnnt_prune_ranges,
+                                             rnnt_loss_pruned,
+                                             rnnt_loss_smoothed)
+from speech2text_tpu.ops.rnnt import rnnt_loss
+
+
+def _rand_lens(rng, B, hi, lo=1):
+    lens = rng.integers(lo, hi + 1, size=B)
+    lens[0] = hi  # always include the max
+    return lens.astype(np.int32)
+
+
+# ------------------------------------------------------------------- CTC
+class TestCtc:
+
+    @pytest.mark.parametrize("B,T,U,V", [(1, 10, 4, 7), (4, 20, 8, 12),
+                                         (3, 15, 5, 30)])
+    def test_matches_torch(self, rng, B, T, U, V):
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        t_lens = _rand_lens(rng, B, T, lo=U * 2 + 2)
+        u_lens = _rand_lens(rng, B, U)
+        labels = rng.integers(1, V, size=(B, U)).astype(np.int32)
+        labels *= (np.arange(U)[None, :] < u_lens[:, None])
+
+        got = ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                       jnp.asarray(t_lens), jnp.asarray(u_lens),
+                       reduction="none")
+
+        tl = torch.tensor(logits, requires_grad=True)
+        lp = torch.log_softmax(tl, dim=-1).transpose(0, 1)
+        ref = torch.nn.CTCLoss(blank=0, reduction="none", zero_infinity=True)(
+            lp, torch.tensor(labels), torch.tensor(t_lens),
+            torch.tensor(u_lens))
+        np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_torch(self, rng):
+        B, T, U, V = 3, 12, 4, 8
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        t_lens = np.array([12, 10, 9], np.int32)
+        u_lens = np.array([4, 3, 2], np.int32)
+        labels = rng.integers(1, V, size=(B, U)).astype(np.int32)
+        labels *= (np.arange(U)[None, :] < u_lens[:, None])
+
+        g = jax.grad(lambda x: jnp.sum(
+            ctc_loss(x, jnp.asarray(labels), jnp.asarray(t_lens),
+                     jnp.asarray(u_lens), reduction="none")))(
+                         jnp.asarray(logits))
+
+        tl = torch.tensor(logits, requires_grad=True)
+        lp = torch.log_softmax(tl, dim=-1).transpose(0, 1)
+        loss = torch.nn.CTCLoss(blank=0, reduction="sum", zero_infinity=True)(
+            lp, torch.tensor(labels), torch.tensor(t_lens),
+            torch.tensor(u_lens))
+        loss.backward()
+        np.testing.assert_allclose(np.asarray(g), tl.grad.numpy(), rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_impossible_lattice_zeroed(self, rng):
+        # label longer than input frames → zero_infinity semantics
+        logits = rng.standard_normal((1, 3, 5)).astype(np.float32)
+        labels = np.array([[1, 2, 3, 4]], np.int32)
+        out = ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                       jnp.asarray([3]), jnp.asarray([4]), reduction="none")
+        assert float(out[0]) == 0.0
+
+    def test_mean_reduction_torch_semantics(self, rng):
+        B, T, U, V = 2, 10, 3, 6
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        labels = rng.integers(1, V, size=(B, U)).astype(np.int32)
+        t_lens = np.array([10, 8], np.int32)
+        u_lens = np.array([3, 2], np.int32)
+        labels *= (np.arange(U)[None, :] < u_lens[:, None])
+        got = ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                       jnp.asarray(t_lens), jnp.asarray(u_lens),
+                       reduction="mean")
+        lp = torch.log_softmax(torch.tensor(logits), -1).transpose(0, 1)
+        ref = torch.nn.CTCLoss(blank=0, reduction="mean", zero_infinity=True)(
+            lp, torch.tensor(labels), torch.tensor(t_lens),
+            torch.tensor(u_lens))
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+
+
+# ------------------------------------------------------------------ RNN-T
+def rnnt_ref_torch(log_probs, y, t_len, u_len, blank=0):
+    """Brute-force torch DP for one sequence; differentiable."""
+    T, U1, V = log_probs.shape
+    alpha = [[None] * (u_len + 1) for _ in range(t_len)]
+    for t in range(t_len):
+        for u in range(u_len + 1):
+            terms = []
+            if t == 0 and u == 0:
+                alpha[t][u] = log_probs.new_zeros(())
+                continue
+            if t > 0:
+                terms.append(alpha[t - 1][u] + log_probs[t - 1, u, blank])
+            if u > 0:
+                terms.append(alpha[t][u - 1] + log_probs[t, u - 1, y[u - 1]])
+            alpha[t][u] = torch.logsumexp(torch.stack(terms), dim=0)
+    return -(alpha[t_len - 1][u_len] + log_probs[t_len - 1, u_len, blank])
+
+
+class TestRnnt:
+
+    @pytest.mark.parametrize("B,T,U,V", [(1, 5, 3, 6), (4, 12, 6, 10),
+                                         (2, 8, 1, 5)])
+    def test_matches_bruteforce(self, rng, B, T, U, V):
+        logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+        t_lens = _rand_lens(rng, B, T, lo=2)
+        u_lens = _rand_lens(rng, B, U)
+        y = rng.integers(1, V, size=(B, U)).astype(np.int32)
+
+        got = rnnt_loss(jnp.asarray(logits), jnp.asarray(y),
+                        jnp.asarray(t_lens), jnp.asarray(u_lens),
+                        reduction="none")
+        lp = torch.log_softmax(torch.tensor(logits), -1)
+        for b in range(B):
+            ref = rnnt_ref_torch(lp[b], y[b], int(t_lens[b]), int(u_lens[b]))
+            np.testing.assert_allclose(float(got[b]), float(ref), rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_gradients_match_bruteforce(self, rng):
+        B, T, U, V = 2, 6, 3, 5
+        logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+        t_lens = np.array([6, 4], np.int32)
+        u_lens = np.array([3, 2], np.int32)
+        y = rng.integers(1, V, size=(B, U)).astype(np.int32)
+
+        g = jax.grad(lambda x: rnnt_loss(
+            x, jnp.asarray(y), jnp.asarray(t_lens), jnp.asarray(u_lens),
+            reduction="sum"))(jnp.asarray(logits))
+
+        tl = torch.tensor(logits, requires_grad=True)
+        lp = torch.log_softmax(tl, -1)
+        loss = sum(
+            rnnt_ref_torch(lp[b], y[b], int(t_lens[b]), int(u_lens[b]))
+            for b in range(B))
+        loss.backward()
+        np.testing.assert_allclose(np.asarray(g), tl.grad.numpy(), rtol=1e-3,
+                                   atol=1e-4)
+
+
+# ----------------------------------------------------------- pruned RNN-T
+def simple_joint_ref(am, lm, y, t_len, u_len, blank=0):
+    """Reference simple loss: full joint log_softmax(am+lm) → torch DP."""
+    joint = am[:, None, :] + lm[None, :, :]
+    lp = torch.log_softmax(joint, dim=-1)
+    return rnnt_ref_torch(lp, y, t_len, u_len, blank)
+
+
+class TestPrunedRnnt:
+
+    def _make(self, rng, B=3, T=10, U=6, C=16):
+        am = rng.standard_normal((B, T, C)).astype(np.float32)
+        lm = rng.standard_normal((B, U + 1, C)).astype(np.float32)
+        y = rng.integers(1, C, size=(B, U)).astype(np.int32)
+        t_lens = _rand_lens(rng, B, T, lo=U + 1)
+        u_lens = _rand_lens(rng, B, U, lo=2)
+        return am, lm, y, t_lens, u_lens
+
+    def test_simple_loss_matches_joint(self, rng):
+        am, lm, y, t_lens, u_lens = self._make(rng)
+        loss, _ = rnnt_loss_smoothed(jnp.asarray(lm), jnp.asarray(am),
+                                     jnp.asarray(y), jnp.asarray(t_lens),
+                                     jnp.asarray(u_lens), reduction="none")
+        for b in range(len(t_lens)):
+            ref = simple_joint_ref(torch.tensor(am[b]), torch.tensor(lm[b]),
+                                   y[b], int(t_lens[b]), int(u_lens[b]))
+            # fp32 exp-matmul normalizer: slightly looser than CTC/RNN-T
+            np.testing.assert_allclose(float(loss[b]), float(ref), rtol=1e-3,
+                                       atol=1e-3)
+
+    def test_simple_loss_gradients(self, rng):
+        """custom_vjp (occupancy-reuse) backward must equal plain autodiff
+        through the same lattice DP — validates the bwd wiring exactly,
+        independent of platform exp precision (forward values are separately
+        checked against the torch oracle above)."""
+        from speech2text_tpu.ops.rnnt import NEG_INF, lattice_forward
+        am, lm, y, t_lens, u_lens = self._make(rng, B=2, T=6, U=3, C=8)
+        tl, ul = jnp.asarray(t_lens), jnp.asarray(u_lens)
+
+        def f_custom(am_, lm_):
+            loss, _ = rnnt_loss_smoothed(lm_, am_, jnp.asarray(y), tl, ul,
+                                         reduction="sum")
+            return loss
+
+        def f_plain(am_, lm_):
+            # same px/py construction, loss via direct DP (plain autodiff)
+            am_ = am_.astype(jnp.float32)
+            lm_ = lm_.astype(jnp.float32)
+            U = y.shape[1]
+            am_max = jnp.max(am_, axis=-1, keepdims=True)
+            lm_max = jnp.max(lm_, axis=-1, keepdims=True)
+            joint = jnp.einsum("btv,buv->btu", jnp.exp(am_ - am_max),
+                               jnp.exp(lm_ - lm_max))
+            norm = (jnp.log(jnp.maximum(joint, 1e-37)) + am_max
+                    + lm_max.swapaxes(1, 2))
+            am_y = jnp.take_along_axis(am_, jnp.asarray(y)[:, None, :],
+                                       axis=2)
+            lm_y = jnp.take_along_axis(lm_[:, :U],
+                                       jnp.asarray(y)[:, :, None],
+                                       axis=2)[..., 0]
+            px = am_y + lm_y[:, None, :] - norm[:, :, :U]
+            py = am_[:, :, 0, None] + lm_[:, None, :, 0] - norm
+            return -jnp.sum(lattice_forward(px, py, tl, ul))
+
+        g_c = jax.grad(f_custom, argnums=(0, 1))(jnp.asarray(am),
+                                                 jnp.asarray(lm))
+        g_p = jax.grad(f_plain, argnums=(0, 1))(jnp.asarray(am),
+                                                jnp.asarray(lm))
+        for gc, gp in zip(g_c, g_p):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gp),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_occupancies_are_posteriors(self, rng):
+        am, lm, y, t_lens, u_lens = self._make(rng, B=2, T=6, U=3, C=8)
+        _, (px_g, py_g) = rnnt_loss_smoothed(
+            jnp.asarray(lm), jnp.asarray(am), jnp.asarray(y),
+            jnp.asarray(t_lens), jnp.asarray(u_lens), reduction="none")
+        px_g, py_g = np.asarray(px_g), np.asarray(py_g)
+        assert (px_g >= -1e-5).all() and (py_g >= -1e-5).all()
+        # total emit occupancy per sequence = u_len; blank occupancy = t_len
+        for b in range(2):
+            np.testing.assert_allclose(px_g[b].sum(), u_lens[b], rtol=1e-3)
+            np.testing.assert_allclose(py_g[b].sum(), t_lens[b], rtol=1e-3)
+
+    def test_prune_ranges_valid(self, rng):
+        am, lm, y, t_lens, u_lens = self._make(rng, B=4, T=12, U=8, C=16)
+        r = 4
+        _, (px_g, py_g) = rnnt_loss_smoothed(
+            jnp.asarray(lm), jnp.asarray(am), jnp.asarray(y),
+            jnp.asarray(t_lens), jnp.asarray(u_lens), reduction="none")
+        ranges = np.asarray(
+            get_rnnt_prune_ranges(px_g, py_g, jnp.asarray(t_lens),
+                                  jnp.asarray(u_lens), s_range=r))
+        B, T = ranges.shape
+        for b in range(B):
+            assert ranges[b, 0] == 0
+            diffs = np.diff(ranges[b])
+            assert (diffs >= 0).all() and (diffs <= r - 1).all()
+            tl, ul = int(t_lens[b]), int(u_lens[b])
+            # final real frame window must contain u_len (termination state)
+            assert ranges[b, tl - 1] <= ul <= ranges[b, tl - 1] + r - 1
+            assert ranges[b].max() <= max(ul + 1 - r, 0)
+
+    def test_pruned_loss_close_to_full_when_range_covers(self, rng):
+        # s_range >= U+1 → pruning keeps the whole lattice → exact equality
+        B, T, U, C = 2, 8, 3, 10
+        am, lm, y, t_lens, u_lens = self._make(rng, B=B, T=T, U=U, C=C)
+        r = U + 1
+        _, (px_g, py_g) = rnnt_loss_smoothed(
+            jnp.asarray(lm), jnp.asarray(am), jnp.asarray(y),
+            jnp.asarray(t_lens), jnp.asarray(u_lens), reduction="none")
+        ranges = get_rnnt_prune_ranges(px_g, py_g, jnp.asarray(t_lens),
+                                       jnp.asarray(u_lens), s_range=r)
+        assert int(jnp.max(ranges)) == 0
+        am_p, lm_p = do_rnnt_pruning(jnp.asarray(am), jnp.asarray(lm), ranges,
+                                     s_range=r)
+        logits = am_p + lm_p  # trivial joiner
+        got = rnnt_loss_pruned(logits, jnp.asarray(y), ranges,
+                               jnp.asarray(t_lens), jnp.asarray(u_lens),
+                               reduction="none")
+        full = rnnt_loss(
+            jnp.asarray(am)[:, :, None, :] + jnp.asarray(lm)[:, None, :, :],
+            jnp.asarray(y), jnp.asarray(t_lens), jnp.asarray(u_lens),
+            reduction="none")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_pruned_loss_approximates_full(self, rng):
+        # realistic pruning: pruned NLL ≈ full NLL (within a small gap)
+        B, T, U, C = 3, 20, 10, 24
+        am, lm, y, t_lens, u_lens = self._make(rng, B=B, T=T, U=U, C=C)
+        r = 5
+        _, (px_g, py_g) = rnnt_loss_smoothed(
+            jnp.asarray(lm), jnp.asarray(am), jnp.asarray(y),
+            jnp.asarray(t_lens), jnp.asarray(u_lens), reduction="none")
+        ranges = get_rnnt_prune_ranges(px_g, py_g, jnp.asarray(t_lens),
+                                       jnp.asarray(u_lens), s_range=r)
+        am_p, lm_p = do_rnnt_pruning(jnp.asarray(am), jnp.asarray(lm), ranges,
+                                     s_range=r)
+        got = rnnt_loss_pruned(am_p + lm_p, jnp.asarray(y), ranges,
+                               jnp.asarray(t_lens), jnp.asarray(u_lens),
+                               reduction="none")
+        full = rnnt_loss(
+            jnp.asarray(am)[:, :, None, :] + jnp.asarray(lm)[:, None, :, :],
+            jnp.asarray(y), jnp.asarray(t_lens), jnp.asarray(u_lens),
+            reduction="none")
+        got, full = np.asarray(got), np.asarray(full)
+        # pruned lattice is a subset of paths → NLL >= full NLL
+        assert (got >= full - 1e-4).all()
+        assert (got - full < 2.0).all(), f"pruning gap too large: {got-full}"
+
+    def test_pruned_loss_gradients_flow(self, rng):
+        B, T, U, C = 2, 8, 4, 10
+        am, lm, y, t_lens, u_lens = self._make(rng, B=B, T=T, U=U, C=C)
+        r = 3
+
+        def f(am_, lm_):
+            loss, (px_g, py_g) = rnnt_loss_smoothed(
+                lm_, am_, jnp.asarray(y), jnp.asarray(t_lens),
+                jnp.asarray(u_lens), reduction="sum")
+            ranges = get_rnnt_prune_ranges(px_g, py_g, jnp.asarray(t_lens),
+                                           jnp.asarray(u_lens), s_range=r)
+            am_p, lm_p = do_rnnt_pruning(am_, lm_, ranges, s_range=r)
+            pruned = rnnt_loss_pruned(am_p + lm_p, jnp.asarray(y), ranges,
+                                      jnp.asarray(t_lens),
+                                      jnp.asarray(u_lens), reduction="sum")
+            return 0.5 * loss + 0.5 * pruned
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(
+            jnp.asarray(am), jnp.asarray(lm))
+        assert np.isfinite(float(val))
+        for g in grads:
+            g = np.asarray(g)
+            assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    def test_smoothing_scales(self, rng):
+        am, lm, y, t_lens, u_lens = self._make(rng, B=2, T=6, U=3, C=8)
+        loss_a, _ = rnnt_loss_smoothed(
+            jnp.asarray(lm), jnp.asarray(am), jnp.asarray(y),
+            jnp.asarray(t_lens), jnp.asarray(u_lens),
+            lm_only_scale=0.25, am_only_scale=0.1, reduction="none")
+        loss_b, _ = rnnt_loss_smoothed(
+            jnp.asarray(lm), jnp.asarray(am), jnp.asarray(y),
+            jnp.asarray(t_lens), jnp.asarray(u_lens), reduction="none")
+        assert np.isfinite(np.asarray(loss_a)).all()
+        assert not np.allclose(np.asarray(loss_a), np.asarray(loss_b))

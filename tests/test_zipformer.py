@@ -1,0 +1,96 @@
+"""Zipformer2 tests: forward shapes/lengths, causal chunked vs full,
+simulated streaming, feature-mask training mode (mirrors reference
+model/encoder/zipformer_test.py:43-86 coverage)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech2text_tpu.models.zipformer import (Zipformer2, Zipformer2Config,
+                                              swoosh_l, swoosh_r)
+
+TINY = Zipformer2Config(
+    feature_dim=80,
+    downsampling_factor=(1, 2, 4),
+    num_encoder_layers=(1, 1, 1),
+    feedforward_dim=(64, 64, 64),
+    encoder_dim=(32, 48, 48),
+    encoder_unmasked_dim=(24, 24, 24),
+    num_heads=(2, 2, 2),
+    query_head_dim=8,
+    value_head_dim=8,
+    pos_head_dim=4,
+    pos_dim=16,
+    cnn_module_kernel=(7, 7, 7),
+    causal=True,
+    dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = Zipformer2(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 103, 80))
+    lens = jnp.array([103, 57])
+    params = m.init({"params": jax.random.PRNGKey(1)}, x, lens)["params"]
+    return m, x, lens, params
+
+
+def test_forward_shapes_and_lengths(setup):
+    m, x, lens, params = setup
+    out, out_lens = m.apply({"params": params}, x, lens)
+    assert out.shape[-1] == max(TINY.encoder_dim)
+    # frontend (T−7)//2 − 1 then ×2 output downsample
+    exp0 = -(-((103 - 7) // 2 - 1) // 2)
+    assert int(out_lens[0]) == exp0
+    assert out.shape[1] >= int(out_lens[0])
+    # padding zeroed
+    pad = np.asarray(out[1, int(out_lens[1]):])
+    assert np.abs(pad).sum() == 0.0
+
+
+def test_chunked_vs_full_differ(setup):
+    m, x, lens, params = setup
+    full, _ = m.apply({"params": params}, x, lens)
+    chunked, _ = m.apply({"params": params}, x, lens,
+                         chunk_size=jnp.asarray(8, jnp.int32),
+                         left_context_chunks=jnp.asarray(1, jnp.int32))
+    assert not np.allclose(np.asarray(full), np.asarray(chunked), atol=1e-3)
+
+
+def test_simulated_streaming_runs(setup):
+    m, x, lens, params = setup
+    out, out_lens = m.apply({"params": params}, x, lens,
+                            method=Zipformer2.streaming_forward)
+    assert out.shape[-1] == max(TINY.encoder_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_training_mode_feature_mask(setup):
+    m, x, lens, params = setup
+    out, _ = m.apply({"params": params}, x, lens, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(7)})
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swoosh_activations():
+    x = jnp.linspace(-6, 6, 100)
+    l, r = swoosh_l(x), swoosh_r(x)
+    assert np.isfinite(np.asarray(l)).all()
+    # SwooshL(0) ≈ −0.017, SwooshR(0) ≈ 0 (paper values)
+    assert abs(float(swoosh_l(jnp.array(0.0)))) < 0.02
+    assert abs(float(swoosh_r(jnp.array(0.0)))) < 0.01
+
+
+def test_gradients_flow(setup):
+    m, x, lens, params = setup
+
+    def f(p):
+        out, _ = m.apply({"params": p}, x, lens)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(f)(params)
+    total = sum(float(jnp.abs(v).sum())
+                for v in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
