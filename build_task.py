@@ -76,6 +76,35 @@ def run_task(argv):
             mgr = CheckpointManager(os.path.dirname(base) or base)
             finetune_params = mgr.restore(mgr.latest_step())["params"]
 
+    # callbacks parity: ComputeGlobalCmvn / LoadGlobalCmvn (reference
+    # callbacks/callbacks.py:44-120) and FrontendExport (:20-41)
+    cb = config.get("callbacks", {}) or {}
+    cmvn_cb = cb.get("global_cmvn", {}) or {}
+    if cmvn_cb.get("apply") and getattr(task.cmvn, "mean", None) is None:
+        from speech2text_tpu.models.cmvn import (GlobalCmvn,
+                                                 compute_cmvn_stats)
+        stats_path = cmvn_cb.get("pre_compute_cmvn") or os.path.join(
+            workdir, "cmvn.json")
+        if not os.path.exists(stats_path):
+            log.info("computing global CMVN over the train set ...")
+            pipe = task.make_train_pipeline()
+
+            def feat_iter(max_batches=200):
+                import numpy as _np
+                for i, batch in enumerate(pipe):
+                    if i >= max_batches:
+                        break
+                    feats, lens = task.frontend(batch["pcm"],
+                                                batch["pcm_length"])
+                    yield _np.asarray(feats), _np.asarray(lens)
+
+            compute_cmvn_stats(feat_iter()).save(stats_path)
+        task.cmvn = GlobalCmvn.from_file(stats_path)
+        log.info("global CMVN loaded from %s", stats_path)
+    if cb.get("frontend_save"):
+        from speech2text_tpu.export import export_frontend
+        export_frontend(task.frontend, workdir)
+
     trainer = Trainer(task, config, workdir, seed=seed)
     result = trainer.fit(resume=config.get("resume"),
                          finetune_params=finetune_params,

@@ -95,7 +95,7 @@ class AsrTaskBase:
                                       snrs=tuple(mc.get("snrs", (10, 20))),
                                       apply=napply)
         feats = self.cmvn(feats)
-        if self.aug.get("use_spec_aug"):
+        if self.aug.get("use_spec_aug") and isinstance(self.frontend, Fbank):
             sc = self.aug.get("spec_aug_config", {})
             feats = augment.spec_augment(
                 feats, lens, k_spec,

@@ -78,6 +78,28 @@ class TestCtcTask:
         assert len(hyps) == 2
 
 
+class TestWav2Vec2Ctc:
+
+    def test_raw_pcm_path(self, rng):
+        cfg = {**BASE,
+               "dataset": {"feat_type": "pcm", "feat_config": {"dummy": -1},
+                           "data_aug_config": {"use_spec_aug": True}},
+               "encoder": {"model": "Wav2Vec2",
+                           "config": {"hidden_dim": 32, "num_layers": 1,
+                                      "num_heads": 2, "ffn_dim": 64,
+                                      "output_dim": 24, "dropout": 0.0,
+                                      "conv_pos_kernel": 16,
+                                      "conv_pos_groups": 4}},
+               "decoder": {"model": "Projector",
+                           "config": {"input_dim": 24,
+                                      "num_classes": VOCAB,
+                                      "dropout_p": 0.0}},
+               "loss": {"model": "CTC", "config": {}}}
+        task = TaskFactory("CTC")(cfg)
+        loss, metrics, hyps = check_task(task, audio_batch(rng))
+        assert len(hyps) == 2
+
+
 class TestRnntTasks:
 
     def _cfg(self, prune_range, rng_unused=None):
