@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -35,13 +36,16 @@ def main():
     from speech2text_tpu.losses import Loss
     from speech2text_tpu.optim import scaled_adam
 
+    import os
     vocab = 128
-    model = _build_model(_flagship_config(vocab))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = _build_model(_flagship_config(vocab, dtype=dtype, remat=True))
     fbank = Fbank(FbankConfig(num_mel_bins=80, snip_edges=True))
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
     tx = scaled_adam(learning_rate=1e-3)
 
-    B, SECS, U = 16, 10, 48
+    B = int(os.environ.get("BENCH_B", 16))
+    SECS, U = 10, 48
     N = SECS * 16000
     rng = np.random.default_rng(0)
     pcm = jnp.asarray(rng.standard_normal((B, N)) * 0.1, jnp.float32)
@@ -54,7 +58,7 @@ def main():
                         labels, lab_lens)["params"]
     opt_state = tx.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, pcm, pcm_lens, labels, lab_lens, rng):
         feats, feat_lens = fbank(pcm, pcm_lens)
 
@@ -72,19 +76,21 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup/compile
+    # warmup/compile. NOTE: on the tunneled axon platform
+    # block_until_ready does not actually block; a host fetch of a value
+    # depending on the whole chain is the only reliable fence.
     k = jax.random.PRNGKey(1)
     params, opt_state, loss = step(params, opt_state, pcm, pcm_lens, labels,
                                    lab_lens, k)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
-    n_iters = 10
+    n_iters = 20
     t0 = time.perf_counter()
     for i in range(n_iters):
         k, sub = jax.random.split(k)
         params, opt_state, loss = step(params, opt_state, pcm, pcm_lens,
                                        labels, lab_lens, sub)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # forces execution of the full dependent chain
     dt = time.perf_counter() - t0
 
     utts_per_sec = B * n_iters / dt

@@ -123,10 +123,24 @@ def make_mel_banks(cfg: FbankConfig) -> np.ndarray:
 
 
 def frame_signal(cfg: FbankConfig, pcm: jnp.ndarray, max_frames: int) -> jnp.ndarray:
-    """(B, N) pcm → (B, max_frames, frame_length) via gather framing."""
+    """(B, N) pcm → (B, max_frames, frame_length).
+
+    Fast path (snip_edges, N divisible by frame_shift, frame_length within
+    3 hops): overlapping frames built from reshape+concat of hop blocks —
+    no gather, which is slow on TPU. Falls back to gather otherwise."""
     B, N = pcm.shape
     flen, shift = cfg.frame_length, cfg.frame_shift
     if cfg.snip_edges:
+        n_hops_needed = -(-flen // shift)  # hops covering one frame
+        if N % shift == 0 and n_hops_needed <= 3 and flen <= 3 * shift:
+            T_hops = N // shift
+            h = pcm.reshape(B, T_hops, shift)
+            frames = jnp.concatenate(
+                [h[:, :-2], h[:, 1:-1], h[:, 2:]], axis=-1)[:, :, :flen]
+            if frames.shape[1] >= max_frames:
+                return frames[:, :max_frames]
+            pad = max_frames - frames.shape[1]
+            return jnp.pad(frames, ((0, 0), (0, pad), (0, 0)))
         starts = jnp.arange(max_frames, dtype=jnp.int32) * shift
         idx = starts[:, None] + jnp.arange(flen, dtype=jnp.int32)[None, :]
         idx = jnp.clip(idx, 0, N - 1)  # out-of-range frames read pad; masked later
@@ -141,9 +155,23 @@ def frame_signal(cfg: FbankConfig, pcm: jnp.ndarray, max_frames: int) -> jnp.nda
     return pcm[:, idx]
 
 
+def make_dft_matrices(cfg: FbankConfig) -> tuple:
+    """Real-DFT as two (frame_length, n_fft//2+1) matmul operands: on TPU a
+    fixed-size small DFT is far faster on the MXU than the FFT op (zero
+    padding to n_fft is folded into the matrix: only the first
+    frame_length rows of the DFT matter)."""
+    n_fft = cfg.padded_window_size
+    flen = cfg.frame_length
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(flen)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_frames"))
 def _fbank_impl(cfg: FbankConfig, pcm: jnp.ndarray, max_frames: int,
                 window: jnp.ndarray, banks: jnp.ndarray,
+                dft_cos: jnp.ndarray, dft_sin: jnp.ndarray,
                 dither_key: jax.Array | None) -> jnp.ndarray:
     frames = frame_signal(cfg, pcm.astype(jnp.float32), max_frames)
     if cfg.dither > 0.0 and dither_key is not None:
@@ -155,10 +183,14 @@ def _fbank_impl(cfg: FbankConfig, pcm: jnp.ndarray, max_frames: int,
         prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
         frames = frames - cfg.preemphasis * prev
     frames = frames * window
-    n_fft = cfg.padded_window_size
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    power = jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
-    mel = jnp.einsum("btf,mf->btm", power, banks,
+    # power spectrum via matmul-DFT (MXU); fp32 accumulation
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,nk->btk", frames, dft_cos, precision=hp,
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("btn,nk->btk", frames, dft_sin, precision=hp,
+                    preferred_element_type=jnp.float32)
+    power = jnp.square(re) + jnp.square(im)
+    mel = jnp.einsum("btf,mf->btm", power, banks, precision=hp,
                      preferred_element_type=jnp.float32)
     return jnp.log(jnp.maximum(mel, EPSILON))
 
@@ -176,6 +208,9 @@ class Fbank:
         self.cfg = cfg or FbankConfig(**kwargs)
         self._window = jnp.asarray(make_window(self.cfg))
         self._banks = jnp.asarray(make_mel_banks(self.cfg))
+        dft_cos, dft_sin = make_dft_matrices(self.cfg)
+        self._dft_cos = jnp.asarray(dft_cos)
+        self._dft_sin = jnp.asarray(dft_sin)
 
     @property
     def feat_dim(self) -> int:
@@ -198,7 +233,8 @@ class Fbank:
                               jnp.float32)
         else:
             feats = _fbank_impl(self.cfg, pcm, max_frames, self._window,
-                                self._banks, dither_key)
+                                self._banks, self._dft_cos, self._dft_sin,
+                                dither_key)
         lens = feat_lengths(self.cfg, sample_lengths)
         if squeeze:
             return feats[0], lens[0]

@@ -327,10 +327,13 @@ class Zipformer2EncoderLayer(nn.Module):
     causal: bool
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_balancer: bool = False
+    use_whiten: bool = False
 
     @nn.compact
     def __call__(self, x, pos_emb, pad_mask, attn_mask=None,
                  deterministic=True):
+        from ..ops.regularizers import balancer, whiten
         D = self.embed_dim
         attn_w = AttentionWeights(
             D, self.num_heads, self.query_head_dim, self.pos_head_dim,
@@ -348,6 +351,8 @@ class Zipformer2EncoderLayer(nn.Module):
                                   name="conv1")(x, pad_mask)
         x = x + FeedforwardModule(self.ff_dim, self.dtype, name="ff2")(
             x, deterministic, self.dropout)
+        if self.use_balancer and not deterministic:
+            x = balancer(x)
         x = BypassModule(name="bypass_mid")(src, x)
         x = x + SelfAttention(D, self.num_heads, self.value_head_dim,
                               self.dtype, name="self_attn2")(x, attn_w)
@@ -357,6 +362,8 @@ class Zipformer2EncoderLayer(nn.Module):
                                   name="ff3")(x, deterministic,
                                               self.dropout)
         x = BiasNorm(self.dtype, name="norm")(x)
+        if self.use_whiten and not deterministic:
+            x = whiten(x)
         x = BypassModule(name="bypass")(src, x)
         return x
 
@@ -376,6 +383,9 @@ class Zipformer2Stack(nn.Module):
     causal: bool
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    use_balancer: bool = False
+    use_whiten: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, attn_mask_fn, deterministic=True):
@@ -388,12 +398,17 @@ class Zipformer2Stack(nn.Module):
         pad_mask = make_non_pad_mask(ds_len, Td)
         attn_mask = attn_mask_fn(Td, self.downsample, pad_mask)
         pos_emb = CompactRelPositionalEncoding(self.pos_dim)(Td)
+        layer_cls = Zipformer2EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(Zipformer2EncoderLayer,
+                                 static_argnums=(5,))
         for i in range(self.num_layers):
-            x = Zipformer2EncoderLayer(
+            x = layer_cls(
                 self.embed_dim, self.ff_dim, self.num_heads,
                 self.query_head_dim, self.value_head_dim, self.pos_head_dim,
                 self.pos_dim, self.kernel_size, self.causal, self.dropout,
-                self.dtype, name=f"layer{i}")(
+                self.dtype, self.use_balancer, self.use_whiten,
+                name=f"layer{i}")(
                     x, pos_emb, pad_mask, attn_mask, deterministic)
         x = SimpleUpsample(self.downsample)(x, T)
         x = jnp.where(make_non_pad_mask(lengths, T)[..., None], x, 0.0)
@@ -430,6 +445,10 @@ class Zipformer2Config:
     for_ctc: bool = False          # reference: optional CTC projection
     ctc_out_dim: int = -1
     dtype: str = "float32"
+    remat: bool = False            # jax.checkpoint each layer (memory↓)
+    # icefall-style gradient shapers (ops/regularizers.py); off by default
+    use_balancer: bool = False
+    use_whiten: bool = False
 
     @classmethod
     def from_config(cls, cfg: dict) -> "Zipformer2Config":
@@ -512,6 +531,9 @@ class Zipformer2(nn.Module):
                 causal=cfg.causal,
                 dropout=cfg.dropout,
                 dtype=dt,
+                remat=cfg.remat,
+                use_balancer=cfg.use_balancer,
+                use_whiten=cfg.use_whiten,
                 name=f"stack{i}")(x, lens, attn_mask_fn, deterministic)
             if keep is not None:
                 um = cfg.encoder_unmasked_dim[i]

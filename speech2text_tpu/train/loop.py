@@ -146,7 +146,10 @@ class Trainer:
             out_shardings=(p_shard, o_shard, rep),
             donate_argnums=(0, 1))
 
-        # ---- loop
+        # ---- loop (optional jax.profiler trace: SURVEY §5 'tracing' —
+        # the reference has no profiling at all)
+        profile_dir = os.environ.get("S2T_PROFILE_DIR")
+        profile_steps = int(os.environ.get("S2T_PROFILE_STEPS", 0))
         log.info("training: %d steps (%d/epoch, accum %d, mesh %s)",
                  max_steps, steps_per_epoch, self.accum,
                  dict(self.mesh.shape))
@@ -161,10 +164,19 @@ class Trainer:
                              if hasattr(v, "shape"))
                 dbatch = shard_batch(self.mesh, batch)
                 rng, k = jax.random.split(rng)
+                if profile_dir and step == 10:
+                    jax.profiler.start_trace(profile_dir)
                 params, opt_state, metrics = jstep(
                     params, opt_state, dbatch, k,
                     jnp.asarray(step // self.accum, jnp.int32))
                 step += 1
+                if profile_dir and step == 10 + max(profile_steps, 5):
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(),
+                        metrics)
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace written to %s", profile_dir)
+                    profile_dir = None
                 if step % self.log_interval == 0:
                     metrics = jax.device_get(metrics)
                     frames = float(metrics.pop("frames", 0))
