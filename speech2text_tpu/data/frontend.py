@@ -204,13 +204,23 @@ class Fbank:
     samples; consumers must mask via feat_lengths (lengths-as-masks design).
     """
 
-    def __init__(self, cfg: FbankConfig | None = None, **kwargs):
+    def __init__(self, cfg: FbankConfig | None = None,
+                 use_pallas: bool | None = None, **kwargs):
         self.cfg = cfg or FbankConfig(**kwargs)
         self._window = jnp.asarray(make_window(self.cfg))
         self._banks = jnp.asarray(make_mel_banks(self.cfg))
         dft_cos, dft_sin = make_dft_matrices(self.cfg)
         self._dft_cos = jnp.asarray(dft_cos)
         self._dft_sin = jnp.asarray(dft_sin)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self._use_pallas = use_pallas
+        if use_pallas:
+            from ..ops.pallas.fbank_kernel import build_operands
+            w, c, s, b = build_operands(
+                make_window(self.cfg), dft_cos, dft_sin,
+                make_mel_banks(self.cfg))
+            self._pl_ops = tuple(jnp.asarray(a) for a in (w, c, s, b))
 
     @property
     def feat_dim(self) -> int:
@@ -227,12 +237,25 @@ class Fbank:
         if squeeze:
             pcm = pcm[None]
             sample_lengths = jnp.asarray(sample_lengths).reshape(1)
+        cfg = self.cfg
         if max_frames == 0:
             # shorter than one frame: no frames (kaldi snip_edges semantics)
-            feats = jnp.zeros((pcm.shape[0], 0, self.cfg.num_mel_bins),
+            feats = jnp.zeros((pcm.shape[0], 0, cfg.num_mel_bins),
                               jnp.float32)
+        elif (self._use_pallas and cfg.snip_edges
+              and dither_key is None
+              and pcm.shape[-1] % cfg.frame_shift == 0
+              and cfg.frame_length <= 3 * cfg.frame_shift):
+            from ..ops.pallas.fbank_kernel import fbank_pallas
+            w, c, s, b = self._pl_ops
+            feats = fbank_pallas(
+                pcm.astype(jnp.float32), w, c, s, b, max_frames,
+                frame_length=cfg.frame_length,
+                frame_shift=cfg.frame_shift,
+                preemph=cfg.preemphasis, remove_dc=cfg.remove_dc_offset,
+                n_mels=cfg.num_mel_bins)
         else:
-            feats = _fbank_impl(self.cfg, pcm, max_frames, self._window,
+            feats = _fbank_impl(cfg, pcm, max_frames, self._window,
                                 self._banks, self._dft_cos, self._dft_sin,
                                 dither_key)
         lens = feat_lengths(self.cfg, sample_lengths)

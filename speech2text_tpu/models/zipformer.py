@@ -220,17 +220,17 @@ class AttentionWeights(nn.Module):
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(qd))
-        # positional scores: project pos_emb (2T−1, pos_dim) → (2T−1, H, pd)
+        # positional scores: project pos_emb (2T−1, pos_dim) → (2T−1, H, pd),
+        # then gather the batch-independent relative table FIRST (T² · H · pd,
+        # small) so no (B, H, T, 2T−1) intermediate is ever materialized
         p = nn.Dense(H * pd, use_bias=False, dtype=self.dtype,
                      name="pos_proj")(pos_emb).reshape(-1, H, pd)
-        pos_scores = jnp.einsum("bthd,rhd->bhtr", qp, p,
-                                preferred_element_type=jnp.float32)
-        # gather relative offset (t − s) → index (t − s + T − 1)
         t_idx = jnp.arange(T)[:, None]
         s_idx = jnp.arange(T)[None, :]
         rel = (t_idx - s_idx) + (T - 1)                      # (T, T)
-        pos_scores = jnp.take_along_axis(
-            pos_scores, rel[None, None, :, :], axis=3)
+        p_rel = p[rel]                                       # (T, T, H, pd)
+        pos_scores = jnp.einsum("bthd,tshd->bhts", qp, p_rel,
+                                preferred_element_type=jnp.float32)
         scores = scores + pos_scores / jnp.sqrt(jnp.float32(pd))
         scores = jnp.clip(scores, -100.0, 100.0)  # attn-score limiting
         if attn_mask is not None:
