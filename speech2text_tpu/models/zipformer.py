@@ -12,29 +12,33 @@ model/encoder/zipformer.py:48-899):
 - Each layer computes multi-head attention **weights once** and reuses
   them three ways (two value-attentions + one nonlinear attention), has
   three feedforwards (¾×, 1×, 5/4× ff_dim) and two convolution modules
-  (chunk-causal when `causal`), with BiasNorm and Swoosh activations
+  (causal when `causal`), with BiasNorm and Swoosh activations
   (reference zipformer.py:909-1338, scaling.py SwooshL/R & BiasNorm).
-- Final output recombines the widest stack dimension from the last
-  stacks that produce each channel range (`_get_full_dim_output`
+- Final output recombines the widest stack dimension (`_get_full_dim_output`
   semantics, zipformer.py:450-463) and downsamples ×2.
-- Training-time regularization: whole-sequence feature masking of the
-  dims above `encoder_unmasked_dim` (zipformer.py:229-288) and random
-  chunked-causal attention masks (zipformer.py:290-317,409-448) for
-  streaming-capable models. Simulated-streaming `streaming_forward`
-  applies a fixed chunk mask (zipformer.py:391-407).
+- Training-time regularization: whole-sequence feature masking above
+  `encoder_unmasked_dim` (zipformer.py:229-288) and random chunked-causal
+  attention masks (zipformer.py:290-317,409-448). Simulated streaming
+  `streaming_forward` applies a fixed chunk mask (zipformer.py:391-407).
+- **True cached streaming** (`init_streaming_state`/`streaming_step`,
+  reference zipformer.py:528-663): per layer the same six caches as the
+  reference — attention key, nonlin-attention value, two attention values,
+  two convolution left-contexts — plus a raw-feature embed cache. The
+  frontend's ConvNeXt block is non-causal (±3 subsampled frames); its
+  left boundary is zero-initialized, so the first chunk's leading frames
+  differ slightly from a full forward (documented; later chunks match the
+  chunk-masked training computation).
 
 Design deviations from icefall (intentional, TPU-first):
-- Balancer/Whiten gradient shapers and int8-compressed activation
-  memory are training heuristics for fp16 CUDA; bf16 on TPU with XLA
-  rematerialization covers their role. Hooks kept as config flags.
-- BatchNorm-free everywhere (BiasNorm/LayerNorm only) → no cross-batch
-  state to sync under SPMD.
+- Balancer/Whiten gradient shapers are config-gated custom_vjp identities
+  (ops/regularizers.py) instead of always-on fp16-era heuristics.
+- BatchNorm-free everywhere → no cross-batch state to sync under SPMD.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +61,7 @@ def swoosh_r(x):
 
 class BiasNorm(nn.Module):
     """x / RMS(x − b) · e^s with learnable per-channel bias b and scalar
-    log-scale s (reference scaling.py:347-477) — cheaper than LayerNorm
-    (no mean subtraction on the output path)."""
+    log-scale s (reference scaling.py:347-477)."""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,8 +76,8 @@ class BiasNorm(nn.Module):
 
 
 class BypassModule(nn.Module):
-    """Learnable per-channel interpolation y = x + c·(m(x) − x), c clamped
-    to [min, 1] (reference zipformer.py:1499-1555)."""
+    """y = x + c·(m(x) − x), c learnable per channel, clamped to [min, 1]
+    (reference zipformer.py:1499-1555)."""
     min_scale: float = 0.25
 
     @nn.compact
@@ -87,8 +90,6 @@ class BypassModule(nn.Module):
 
 
 def convert_num_channels(x: jnp.ndarray, num_channels: int) -> jnp.ndarray:
-    """Pad with zeros or truncate the channel dim (reference
-    scaling.py:1153-1668 convert_num_channels)."""
     d = x.shape[-1]
     if num_channels <= d:
         return x[..., :num_channels]
@@ -97,8 +98,8 @@ def convert_num_channels(x: jnp.ndarray, num_channels: int) -> jnp.ndarray:
 
 
 class SimpleDownsample(nn.Module):
-    """Downsample ×f over time by a learned softmax-weighted average of
-    each group of f frames (reference zipformer.py:1653-1690)."""
+    """×f time downsample by learned softmax-weighted averaging of each
+    f-frame group (reference zipformer.py:1653-1690)."""
     factor: int
 
     @nn.compact
@@ -109,7 +110,6 @@ class SimpleDownsample(nn.Module):
         f = self.factor
         T2 = -(-T // f)
         pad = T2 * f - T
-        # pad by repeating the last frame (keeps averages sane at the tail)
         x = jnp.concatenate([x, jnp.repeat(x[:, -1:], pad, axis=1)], axis=1) \
             if pad else x
         w = self.param("weights", nn.initializers.zeros, (f,))
@@ -119,7 +119,7 @@ class SimpleDownsample(nn.Module):
 
 
 class SimpleUpsample(nn.Module):
-    """Upsample ×f by frame repetition (reference zipformer.py:1693-1719)."""
+    """×f upsample by frame repetition (reference zipformer.py:1693-1719)."""
     factor: int
 
     def __call__(self, x, out_len: int):
@@ -131,7 +131,7 @@ class SimpleUpsample(nn.Module):
 
 # ------------------------------------------------------ frontend (½ rate)
 class ConvNeXtBlock(nn.Module):
-    """Residual depthwise-conv block used inside the subsampling frontend
+    """Residual depthwise-conv block inside the subsampling frontend
     (reference model/layer/subsampling.py:26-178)."""
     channels: int
     dtype: jnp.dtype = jnp.float32
@@ -147,12 +147,14 @@ class ConvNeXtBlock(nn.Module):
 
 
 class Conv2dSubsampling(nn.Module):
-    """fbank (B, T, F) → (B, (T−7)//2, out_dim): conv (k3,s1) → conv
-    (k3,s2) → conv (k3,s1) + ConvNeXt, then linear (reference
+    """fbank (B, T, F) → (B, (T−7)//2 − 1, out_dim) (reference
     model/layer/subsampling.py:181-414 length arithmetic)."""
     out_dim: int
     mid_channels: int = 32
     dtype: jnp.dtype = jnp.float32
+
+    # raw-frame left context consumed by the conv chain + ConvNeXt lookback
+    RAW_CONTEXT = 20
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -178,15 +180,14 @@ class Conv2dSubsampling(nn.Module):
 
 # ------------------------------------------------------------- attention
 class CompactRelPositionalEncoding(nn.Module):
-    """Compact relative positional embedding: relative offsets are
-    log-compressed then Fourier-embedded (reference zipformer.py:1722-1833
-    behavior: resolution concentrates near offset 0)."""
+    """Compact relative positional embedding: log-compressed offsets →
+    Fourier features (reference zipformer.py:1722-1833)."""
     pos_dim: int = 48
-    length_factor: float = 1.0
 
-    def __call__(self, T: int) -> jnp.ndarray:
-        # offsets −(T−1) .. (T−1)
-        x = jnp.arange(-(T - 1), T, dtype=jnp.float32)
+    def table(self, max_offset: int) -> jnp.ndarray:
+        """Embeddings for offsets −max_offset..max_offset
+        (shape (2·max_offset+1, pos_dim))."""
+        x = jnp.arange(-max_offset, max_offset + 1, dtype=jnp.float32)
         compression = 8.0
         c = jnp.sign(x) * jnp.log1p(jnp.abs(x) / compression) * compression
         d = self.pos_dim // 2
@@ -195,11 +196,14 @@ class CompactRelPositionalEncoding(nn.Module):
         ang = c[:, None] * freqs[None, :]
         return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
+    def __call__(self, T: int) -> jnp.ndarray:
+        return self.table(T - 1)
+
 
 class AttentionWeights(nn.Module):
-    """Shared attention-weight computation: content (q·k) + positional
-    (q_p · rel-pos) scores → softmax (reference
-    RelPositionMultiheadAttentionWeights, zipformer.py:1836-2208)."""
+    """Shared attention-weight computation: content + positional scores →
+    softmax (reference RelPositionMultiheadAttentionWeights,
+    zipformer.py:1836-2208)."""
     embed_dim: int
     num_heads: int
     query_head_dim: int
@@ -207,35 +211,72 @@ class AttentionWeights(nn.Module):
     pos_dim: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, pos_emb, attn_mask=None):
-        B, T, D = x.shape
+    def setup(self):
         H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
-        q = nn.Dense(H * qd, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(H * qd, dtype=self.dtype, name="k_proj")(x)
-        qp = nn.Dense(H * pd, dtype=self.dtype, name="qpos_proj")(x)
-        q = q.reshape(B, T, H, qd)
-        k = k.reshape(B, T, H, qd)
-        qp = qp.reshape(B, T, H, pd)
+        self.q_proj = nn.Dense(H * qd, dtype=self.dtype)
+        self.k_proj = nn.Dense(H * qd, dtype=self.dtype)
+        self.qpos_proj = nn.Dense(H * pd, dtype=self.dtype)
+        self.pos_proj = nn.Dense(H * pd, use_bias=False, dtype=self.dtype)
+
+    def _scores(self, q, k, qp, p_rel):
+        """q (B,Tq,H,qd), k (B,Tk,H,qd), qp (B,Tq,H,pd),
+        p_rel (Tq,Tk,H,pd) → softmax-ready scores (B,H,Tq,Tk)."""
+        qd, pd = self.query_head_dim, self.pos_head_dim
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(qd))
-        # positional scores: project pos_emb (2T−1, pos_dim) → (2T−1, H, pd),
-        # then gather the batch-independent relative table FIRST (T² · H · pd,
-        # small) so no (B, H, T, 2T−1) intermediate is ever materialized
-        p = nn.Dense(H * pd, use_bias=False, dtype=self.dtype,
-                     name="pos_proj")(pos_emb).reshape(-1, H, pd)
-        t_idx = jnp.arange(T)[:, None]
-        s_idx = jnp.arange(T)[None, :]
-        rel = (t_idx - s_idx) + (T - 1)                      # (T, T)
-        p_rel = p[rel]                                       # (T, T, H, pd)
         pos_scores = jnp.einsum("bthd,tshd->bhts", qp, p_rel,
                                 preferred_element_type=jnp.float32)
         scores = scores + pos_scores / jnp.sqrt(jnp.float32(pd))
-        scores = jnp.clip(scores, -100.0, 100.0)  # attn-score limiting
+        return jnp.clip(scores, -100.0, 100.0)
+
+    def __call__(self, x, pos_emb, attn_mask=None):
+        B, T, D = x.shape
+        H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
+        q = self.q_proj(x).reshape(B, T, H, qd)
+        k = self.k_proj(x).reshape(B, T, H, qd)
+        qp = self.qpos_proj(x).reshape(B, T, H, pd)
+        # gather the batch-independent relative table BEFORE the einsum —
+        # never materializes a (B, H, T, 2T−1) tensor
+        p = self.pos_proj(pos_emb).reshape(-1, H, pd)      # (2T−1, H, pd)
+        t_idx = jnp.arange(T)[:, None]
+        s_idx = jnp.arange(T)[None, :]
+        rel = (t_idx - s_idx) + (T - 1)
+        p_rel = p[rel]                                     # (T, T, H, pd)
+        scores = self._scores(q, k, qp, p_rel)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
         return jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+
+    def step(self, x_chunk, pos_emb_table, cached_k, valid_cache):
+        """Streaming: queries = chunk (C), keys = [cache (L) | chunk].
+        cached_k (B, L, H·qd) projected keys; valid_cache scalar count of
+        real frames in the cache. Returns (weights (B,H,C,L+C), new_cache).
+        pos_emb_table: table for offsets −C+1..L+C−1 (from
+        CompactRelPositionalEncoding.table(L+C−1))."""
+        B, C, D = x_chunk.shape
+        H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
+        L = cached_k.shape[1]
+        q = self.q_proj(x_chunk).reshape(B, C, H, qd)
+        k_new = self.k_proj(x_chunk)
+        k = jnp.concatenate([cached_k, k_new], axis=1).reshape(
+            B, L + C, H, qd)
+        qp = self.qpos_proj(x_chunk).reshape(B, C, H, pd)
+        p = self.pos_proj(pos_emb_table).reshape(-1, H, pd)
+        max_off = (p.shape[0] - 1) // 2
+        # query abs pos = L + i, key abs pos = s → offset (L+i−s)
+        i_idx = jnp.arange(C)[:, None]
+        s_idx = jnp.arange(L + C)[None, :]
+        rel = jnp.clip((L + i_idx - s_idx) + max_off, 0, p.shape[0] - 1)
+        p_rel = p[rel]                                     # (C, L+C, H, pd)
+        scores = self._scores(q, k, qp, p_rel)
+        # mask out not-yet-filled cache slots (cache fills from the right)
+        key_pos = jnp.arange(L + C)
+        valid = key_pos >= (L - jnp.minimum(valid_cache, L))
+        scores = jnp.where(valid[None, None, None, :], scores, -1e30)
+        weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        new_cache = jnp.concatenate([cached_k, k_new], axis=1)[:, -L:]
+        return weights, new_cache
 
 
 class SelfAttention(nn.Module):
@@ -246,35 +287,64 @@ class SelfAttention(nn.Module):
     value_head_dim: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.v_proj = nn.Dense(self.num_heads * self.value_head_dim,
+                               dtype=self.dtype)
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
+
+    def _attend(self, weights, v, B, Tq):
+        H, vd = self.num_heads, self.value_head_dim
+        out = jnp.einsum("bhts,bshd->bthd", weights,
+                         v.reshape(B, -1, H, vd),
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, Tq, H * vd).astype(self.dtype)
+        return self.out_proj(out)
+
     def __call__(self, x, attn_weights):
         B, T, D = x.shape
-        H, vd = self.num_heads, self.value_head_dim
-        v = nn.Dense(H * vd, dtype=self.dtype)(x).reshape(B, T, H, vd)
-        out = jnp.einsum("bhts,bshd->bthd", attn_weights, v,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(B, T, H * vd).astype(self.dtype)
-        return nn.Dense(D, dtype=self.dtype)(out)
+        return self._attend(attn_weights, self.v_proj(x), B, T)
+
+    def step(self, x_chunk, weights, cached_v):
+        B, C, D = x_chunk.shape
+        L = cached_v.shape[1]
+        v_new = self.v_proj(x_chunk)
+        v = jnp.concatenate([cached_v, v_new], axis=1)
+        out = self._attend(weights, v, B, C)
+        return out, v[:, -L:] if L else cached_v
 
 
 class NonlinAttention(nn.Module):
-    """Gated attention: (tanh(s) ⊙ x) attended by shared weights
-    (reference zipformer.py:2381-2544)."""
+    """Gated single-head attention (reference zipformer.py:2381-2544):
+    in_proj → (s, a, b); values = a·tanh(s) attended by the first head's
+    weights, gated again by tanh(s) on the query side."""
     embed_dim: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.in_proj = nn.Dense(3 * self.hidden, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
+
     def __call__(self, x, attn_weights_1head):
-        B, T, D = x.shape
-        h = nn.Dense(3 * self.hidden, dtype=self.dtype)(x)
+        h = self.in_proj(x)
         s, a, b = jnp.split(h, 3, axis=-1)
-        a = jnp.tanh(s) * a
-        # attend with the first head's weights (reference uses one head)
-        out = jnp.einsum("bts,bsd->btd", attn_weights_1head, b,
+        v = a * jnp.tanh(s)
+        out = jnp.einsum("bts,bsd->btd", attn_weights_1head, v,
                          preferred_element_type=jnp.float32)
-        out = (jnp.tanh(s) * out.astype(self.dtype))
-        return nn.Dense(D, dtype=self.dtype)(out)
+        out = jnp.tanh(s) * out.astype(self.dtype)
+        return self.out_proj(out)
+
+    def step(self, x_chunk, weights_1head, cached_v):
+        """weights_1head (B, C, L+C); cached_v (B, L, hidden)."""
+        L = cached_v.shape[1]
+        h = self.in_proj(x_chunk)
+        s, a, b = jnp.split(h, 3, axis=-1)
+        v_new = a * jnp.tanh(s)
+        v = jnp.concatenate([cached_v, v_new], axis=1)
+        out = jnp.einsum("bts,bsd->btd", weights_1head, v,
+                         preferred_element_type=jnp.float32)
+        out = jnp.tanh(s) * out.astype(self.dtype)
+        return self.out_proj(out), v[:, -L:] if L else cached_v
 
 
 class FeedforwardModule(nn.Module):
@@ -284,34 +354,45 @@ class FeedforwardModule(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True, dropout=0.1):
         D = x.shape[-1]
-        h = nn.Dense(self.ff_dim, dtype=self.dtype)(x)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="in")(x)
         h = swoosh_l(h)
         h = nn.Dropout(rate=dropout)(h, deterministic=deterministic)
-        return nn.Dense(D, dtype=self.dtype)(h)
+        return nn.Dense(D, dtype=self.dtype, name="out")(h)
 
 
 class ConvolutionModule(nn.Module):
     """pointwise-GLU → depthwise (causal left-pad when `causal`) →
     SwooshR → pointwise (reference zipformer.py:2547-2737)."""
+    dim: int
     kernel_size: int
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.in_proj = nn.Dense(2 * self.dim, dtype=self.dtype)
+        self.dw = nn.Conv(self.dim, (self.kernel_size,), padding="VALID",
+                          feature_group_count=self.dim, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.dim, dtype=self.dtype)
+
+    def _post(self, h):
+        return self.out_proj(swoosh_r(h))
+
     def __call__(self, x, pad_mask):
-        B, T, D = x.shape
-        h = nn.Dense(2 * D, dtype=self.dtype)(x)
-        h = nn.glu(h, axis=-1)
+        h = nn.glu(self.in_proj(x), axis=-1)
         h = jnp.where(pad_mask[..., None], h, 0.0)
         if self.causal:
             h = jnp.pad(h, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
-            h = nn.Conv(D, (self.kernel_size,), padding="VALID",
-                        feature_group_count=D, dtype=self.dtype)(h)
         else:
-            h = nn.Conv(D, (self.kernel_size,), padding="SAME",
-                        feature_group_count=D, dtype=self.dtype)(h)
-        h = swoosh_r(h)
-        return nn.Dense(D, dtype=self.dtype)(h)
+            p = (self.kernel_size - 1) // 2
+            h = jnp.pad(h, ((0, 0), (p, self.kernel_size - 1 - p), (0, 0)))
+        return self._post(self.dw(h))
+
+    def step(self, x_chunk, cache):
+        """cache (B, kernel−1, dim) post-GLU left context (causal only)."""
+        h = nn.glu(self.in_proj(x_chunk), axis=-1)
+        full = jnp.concatenate([cache, h], axis=1)
+        out = self._post(self.dw(full))
+        return out, full[:, -(self.kernel_size - 1):]
 
 
 # ----------------------------------------------------------------- layer
@@ -330,42 +411,94 @@ class Zipformer2EncoderLayer(nn.Module):
     use_balancer: bool = False
     use_whiten: bool = False
 
-    @nn.compact
+    def setup(self):
+        D = self.embed_dim
+        self.attn_weights = AttentionWeights(
+            D, self.num_heads, self.query_head_dim, self.pos_head_dim,
+            self.pos_dim, self.dtype)
+        self.ff1 = FeedforwardModule(self.ff_dim * 3 // 4, self.dtype)
+        self.nonlin_attn = NonlinAttention(D, D * 3 // 4, self.dtype)
+        self.self_attn1 = SelfAttention(D, self.num_heads,
+                                        self.value_head_dim, self.dtype)
+        self.conv1 = ConvolutionModule(D, self.kernel_size, self.causal,
+                                       self.dtype)
+        self.ff2 = FeedforwardModule(self.ff_dim, self.dtype)
+        self.bypass_mid = BypassModule()
+        self.self_attn2 = SelfAttention(D, self.num_heads,
+                                        self.value_head_dim, self.dtype)
+        self.conv2 = ConvolutionModule(D, self.kernel_size, self.causal,
+                                       self.dtype)
+        self.ff3 = FeedforwardModule(self.ff_dim * 5 // 4, self.dtype)
+        self.norm = BiasNorm(self.dtype)
+        self.bypass = BypassModule()
+
     def __call__(self, x, pos_emb, pad_mask, attn_mask=None,
                  deterministic=True):
         from ..ops.regularizers import balancer, whiten
-        D = self.embed_dim
-        attn_w = AttentionWeights(
-            D, self.num_heads, self.query_head_dim, self.pos_head_dim,
-            self.pos_dim, self.dtype, name="attn_weights")(
-                x, pos_emb, attn_mask)
+        attn_w = self.attn_weights(x, pos_emb, attn_mask)
         src = x
-        x = x + FeedforwardModule(self.ff_dim * 3 // 4, self.dtype,
-                                  name="ff1")(x, deterministic,
-                                              self.dropout)
-        x = x + NonlinAttention(D, D * 3 // 4, self.dtype,
-                                name="nonlin_attn")(x, attn_w[:, 0])
-        x = x + SelfAttention(D, self.num_heads, self.value_head_dim,
-                              self.dtype, name="self_attn1")(x, attn_w)
-        x = x + ConvolutionModule(self.kernel_size, self.causal, self.dtype,
-                                  name="conv1")(x, pad_mask)
-        x = x + FeedforwardModule(self.ff_dim, self.dtype, name="ff2")(
-            x, deterministic, self.dropout)
+        x = x + self.ff1(x, deterministic, self.dropout)
+        x = x + self.nonlin_attn(x, attn_w[:, 0])
+        x = x + self.self_attn1(x, attn_w)
+        x = x + self.conv1(x, pad_mask)
+        x = x + self.ff2(x, deterministic, self.dropout)
         if self.use_balancer and not deterministic:
             x = balancer(x)
-        x = BypassModule(name="bypass_mid")(src, x)
-        x = x + SelfAttention(D, self.num_heads, self.value_head_dim,
-                              self.dtype, name="self_attn2")(x, attn_w)
-        x = x + ConvolutionModule(self.kernel_size, self.causal, self.dtype,
-                                  name="conv2")(x, pad_mask)
-        x = x + FeedforwardModule(self.ff_dim * 5 // 4, self.dtype,
-                                  name="ff3")(x, deterministic,
-                                              self.dropout)
-        x = BiasNorm(self.dtype, name="norm")(x)
+        x = self.bypass_mid(src, x)
+        x = x + self.self_attn2(x, attn_w)
+        x = x + self.conv2(x, pad_mask)
+        x = x + self.ff3(x, deterministic, self.dropout)
+        x = self.norm(x)
         if self.use_whiten and not deterministic:
             x = whiten(x)
-        x = BypassModule(name="bypass")(src, x)
+        x = self.bypass(src, x)
         return x
+
+    # ------------------------------------------------------------ streaming
+    def init_cache(self, batch_size: int, left: int) -> Dict[str, Any]:
+        D = self.embed_dim
+        H = self.num_heads
+        dt = self.dtype
+        k = self.kernel_size
+        return {
+            "key": jnp.zeros((batch_size, left, H * self.query_head_dim),
+                             dt),
+            "nonlin": jnp.zeros((batch_size, left, D * 3 // 4), dt),
+            "val1": jnp.zeros((batch_size, left,
+                               H * self.value_head_dim), dt),
+            "val2": jnp.zeros((batch_size, left,
+                               H * self.value_head_dim), dt),
+            "conv1": jnp.zeros((batch_size, k - 1, D), dt),
+            "conv2": jnp.zeros((batch_size, k - 1, D), dt),
+        }
+
+    def streaming_step(self, x, pos_table, cache, valid_cache):
+        """x (B, C, D) chunk; cache = the six per-layer tensors;
+        valid_cache: scalar count of real cached frames. Returns
+        (out, new_cache). Matches __call__ with a left-context window."""
+        attn_w, new_key = self.attn_weights.step(x, pos_table,
+                                                 cache["key"], valid_cache)
+        src = x
+        x = x + self.ff1(x, True)
+        out, new_nonlin = self.nonlin_attn.step(x, attn_w[:, 0],
+                                                cache["nonlin"])
+        x = x + out
+        out, new_v1 = self.self_attn1.step(x, attn_w, cache["val1"])
+        x = x + out
+        out, new_c1 = self.conv1.step(x, cache["conv1"])
+        x = x + out
+        x = x + self.ff2(x, True)
+        x = self.bypass_mid(src, x)
+        out, new_v2 = self.self_attn2.step(x, attn_w, cache["val2"])
+        x = x + out
+        out, new_c2 = self.conv2.step(x, cache["conv2"])
+        x = x + out
+        x = x + self.ff3(x, True)
+        x = self.norm(x)
+        x = self.bypass(src, x)
+        new_cache = {"key": new_key, "nonlin": new_nonlin, "val1": new_v1,
+                     "val2": new_v2, "conv1": new_c1, "conv2": new_c2}
+        return x, new_cache
 
 
 class Zipformer2Stack(nn.Module):
@@ -387,38 +520,88 @@ class Zipformer2Stack(nn.Module):
     use_balancer: bool = False
     use_whiten: bool = False
 
-    @nn.compact
-    def __call__(self, x, lengths, attn_mask_fn, deterministic=True):
-        B, T, D_in = x.shape
-        x_orig = x
-        x = convert_num_channels(x, self.embed_dim)
-        x = SimpleDownsample(self.downsample, name="downsample")(x)
-        ds_len = -(-lengths // self.downsample)
-        Td = x.shape[1]
-        pad_mask = make_non_pad_mask(ds_len, Td)
-        attn_mask = attn_mask_fn(Td, self.downsample, pad_mask)
-        pos_emb = CompactRelPositionalEncoding(self.pos_dim)(Td)
+    def setup(self):
         layer_cls = Zipformer2EncoderLayer
         if self.remat:
             layer_cls = nn.remat(Zipformer2EncoderLayer,
                                  static_argnums=(5,))
-        for i in range(self.num_layers):
-            x = layer_cls(
-                self.embed_dim, self.ff_dim, self.num_heads,
-                self.query_head_dim, self.value_head_dim, self.pos_head_dim,
-                self.pos_dim, self.kernel_size, self.causal, self.dropout,
-                self.dtype, self.use_balancer, self.use_whiten,
-                name=f"layer{i}")(
-                    x, pos_emb, pad_mask, attn_mask, deterministic)
-        x = SimpleUpsample(self.downsample)(x, T)
+        self.layers = [
+            layer_cls(self.embed_dim, self.ff_dim, self.num_heads,
+                      self.query_head_dim, self.value_head_dim,
+                      self.pos_head_dim, self.pos_dim, self.kernel_size,
+                      self.causal, self.dropout, self.dtype,
+                      self.use_balancer, self.use_whiten,
+                      name=f"layer{i}")
+            for i in range(self.num_layers)
+        ]
+        self.down = SimpleDownsample(self.downsample, name="downsample")
+        self.up = SimpleUpsample(self.downsample)
+        self.penc = CompactRelPositionalEncoding(self.pos_dim)
+        self.stack_bypass = BypassModule(name="stack_bypass")
+
+    def __call__(self, x, lengths, attn_mask_fn, deterministic=True):
+        B, T, D_in = x.shape
+        x_orig = x
+        x = convert_num_channels(x, self.embed_dim)
+        x = self.down(x)
+        ds_len = -(-lengths // self.downsample)
+        Td = x.shape[1]
+        pad_mask = make_non_pad_mask(ds_len, Td)
+        attn_mask = attn_mask_fn(Td, self.downsample, pad_mask)
+        pos_emb = self.penc(Td)
+        for layer in self.layers:
+            x = layer(x, pos_emb, pad_mask, attn_mask, deterministic)
+        x = self.up(x, T)
         x = jnp.where(make_non_pad_mask(lengths, T)[..., None], x, 0.0)
-        # bypass around the whole stack at the common width
         d_common = min(D_in, self.embed_dim)
-        out = BypassModule(name="stack_bypass")(
-            x_orig[..., :d_common], x[..., :d_common])
+        out = self.stack_bypass(x_orig[..., :d_common], x[..., :d_common])
         if self.embed_dim > d_common:
             out = jnp.concatenate([out, x[..., d_common:]], axis=-1)
         return out
+
+    # ------------------------------------------------------------ streaming
+    def init_cache(self, batch_size: int, chunk: int, left_chunks: int):
+        """Pure function of constructor fields (callable outside apply)."""
+        c = max(chunk // self.downsample, 1)
+        left = left_chunks * c
+        D, H, k, dt = (self.embed_dim, self.num_heads, self.kernel_size,
+                       self.dtype)
+
+        def one():
+            return {
+                "key": jnp.zeros((batch_size, left,
+                                  H * self.query_head_dim), dt),
+                "nonlin": jnp.zeros((batch_size, left, D * 3 // 4), dt),
+                "val1": jnp.zeros((batch_size, left,
+                                   H * self.value_head_dim), dt),
+                "val2": jnp.zeros((batch_size, left,
+                                   H * self.value_head_dim), dt),
+                "conv1": jnp.zeros((batch_size, k - 1, D), dt),
+                "conv2": jnp.zeros((batch_size, k - 1, D), dt),
+            }
+
+        return [one() for _ in range(self.num_layers)]
+
+    def streaming_step(self, x, caches, valid_cache):
+        """x (B, chunk, D_in) at the base rate; valid_cache: scalar count
+        of cached frames at THIS stack's rate."""
+        B, T, D_in = x.shape
+        x_orig = x
+        x = convert_num_channels(x, self.embed_dim)
+        x = self.down(x)
+        C = x.shape[1]
+        L = caches[0]["key"].shape[1]
+        pos_table = self.penc.table(L + C - 1)
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, nc = layer.streaming_step(x, pos_table, cache, valid_cache)
+            new_caches.append(nc)
+        x = self.up(x, T)
+        d_common = min(D_in, self.embed_dim)
+        out = self.stack_bypass(x_orig[..., :d_common], x[..., :d_common])
+        if self.embed_dim > d_common:
+            out = jnp.concatenate([out, x[..., d_common:]], axis=-1)
+        return out, new_caches
 
 
 # ------------------------------------------------------------------ model
@@ -442,11 +625,10 @@ class Zipformer2Config:
     output_downsampling_factor: int = 2
     dropout: float = 0.1
     feature_mask_dropout_prob: float = 0.15
-    for_ctc: bool = False          # reference: optional CTC projection
+    for_ctc: bool = False
     ctc_out_dim: int = -1
     dtype: str = "float32"
-    remat: bool = False            # jax.checkpoint each layer (memory↓)
-    # icefall-style gradient shapers (ops/regularizers.py); off by default
+    remat: bool = False
     use_balancer: bool = False
     use_whiten: bool = False
 
@@ -470,54 +652,13 @@ class Zipformer2Config:
 class Zipformer2(nn.Module):
     config: Zipformer2Config
 
-    def _dtype(self):
-        return jnp.bfloat16 if self.config.dtype == "bfloat16" \
-            else jnp.float32
-
-    @nn.compact
-    def __call__(self, feats, lengths, deterministic: bool = True,
-                 chunk_size: Optional[jnp.ndarray] = None,
-                 left_context_chunks: Optional[jnp.ndarray] = None):
-        """feats (B, T, F) → (out (B, T', max(encoder_dim)), out_lens).
-
-        chunk_size: traced scalar (frames at the post-frontend rate); <= 0
-        or None → full attention. During causal training the task samples
-        it per step (reference zipformer.py:290-317 random chunk sizes).
-        """
+    def setup(self):
         cfg = self.config
-        dt = self._dtype()
-        x, lens = Conv2dSubsampling(cfg.encoder_dim[0], dtype=dt,
-                                    name="embed")(feats, lengths)
-        B, T, _ = x.shape
-
-        # whole-sequence feature masking above unmasked_dim (train only)
-        if not deterministic and cfg.feature_mask_dropout_prob > 0:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(
-                rng, 1.0 - cfg.feature_mask_dropout_prob, (B, 1, 1))
-        else:
-            keep = None
-
-        if chunk_size is None:
-            chunk_size = jnp.asarray(-1, jnp.int32)
-        if left_context_chunks is None:
-            left_context_chunks = jnp.asarray(-1, jnp.int32)
-
-        def attn_mask_fn(Td, ds_factor, pad_mask):
-            # chunk size is defined at the base (post-frontend) rate;
-            # convert to this stack's rate (reference zipformer.py:409-448)
-            from ..ops.masking import chunk_causal_mask
-            if not cfg.causal:
-                return pad_mask[:, None, :] & pad_mask[:, :, None]
-            cs = jnp.where(chunk_size > 0,
-                           jnp.maximum(chunk_size // ds_factor, 1), -1)
-            cm = chunk_causal_mask(Td, cs, left_context_chunks)
-            return (pad_mask[:, None, :] & pad_mask[:, :, None]
-                    & cm[None, :, :])
-
-        outputs = []
-        for i in range(len(cfg.encoder_dim)):
-            x = Zipformer2Stack(
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.embed = Conv2dSubsampling(cfg.encoder_dim[0], dtype=dt,
+                                       name="embed")
+        self.stacks = [
+            Zipformer2Stack(
                 num_layers=cfg.num_encoder_layers[i],
                 downsample=cfg.downsampling_factor[i],
                 embed_dim=cfg.encoder_dim[i],
@@ -534,7 +675,57 @@ class Zipformer2(nn.Module):
                 remat=cfg.remat,
                 use_balancer=cfg.use_balancer,
                 use_whiten=cfg.use_whiten,
-                name=f"stack{i}")(x, lens, attn_mask_fn, deterministic)
+                name=f"stack{i}")
+            for i in range(len(cfg.encoder_dim))
+        ]
+        self.out_down = SimpleDownsample(cfg.output_downsampling_factor,
+                                         name="out_downsample")
+
+    def _recombine(self, outputs):
+        """full-dim recombination (zipformer.py:450-463): each channel
+        range comes from the LAST stack wide enough to produce it."""
+        dims = list(self.config.encoder_dim)
+        full_dim = max(dims)
+        pieces = []
+        cur = 0
+        while cur < full_dim:
+            j = [i for i, d in enumerate(dims) if d > cur][-1]
+            pieces.append(outputs[j][..., cur:dims[j]])
+            cur = dims[j]
+        return jnp.concatenate(pieces, axis=-1)
+
+    def __call__(self, feats, lengths, deterministic: bool = True,
+                 chunk_size: Optional[jnp.ndarray] = None,
+                 left_context_chunks: Optional[jnp.ndarray] = None):
+        cfg = self.config
+        x, lens = self.embed(feats, lengths)
+        B, T, _ = x.shape
+
+        if not deterministic and cfg.feature_mask_dropout_prob > 0:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - cfg.feature_mask_dropout_prob, (B, 1, 1))
+        else:
+            keep = None
+
+        if chunk_size is None:
+            chunk_size = jnp.asarray(-1, jnp.int32)
+        if left_context_chunks is None:
+            left_context_chunks = jnp.asarray(-1, jnp.int32)
+
+        def attn_mask_fn(Td, ds_factor, pad_mask):
+            from ..ops.masking import chunk_causal_mask
+            if not cfg.causal:
+                return pad_mask[:, None, :] & pad_mask[:, :, None]
+            cs = jnp.where(chunk_size > 0,
+                           jnp.maximum(chunk_size // ds_factor, 1), -1)
+            cm = chunk_causal_mask(Td, cs, left_context_chunks)
+            return (pad_mask[:, None, :] & pad_mask[:, :, None]
+                    & cm[None, :, :])
+
+        outputs = []
+        for i, stack in enumerate(self.stacks):
+            x = stack(x, lens, attn_mask_fn, deterministic)
             if keep is not None:
                 um = cfg.encoder_unmasked_dim[i]
                 d_idx = jnp.arange(x.shape[-1])
@@ -543,24 +734,9 @@ class Zipformer2(nn.Module):
                 x = x * mask
             outputs.append(x)
 
-        # full-dim recombination (zipformer.py:450-463): for each channel
-        # range, take it from the LAST stack wide enough to produce it
-        full_dim = max(cfg.encoder_dim)
-        pieces = []
-        cur = 0
-        dims = list(cfg.encoder_dim)
-        while cur < full_dim:
-            # widest requirement first: find last stack with dim > cur
-            candidates = [j for j, d in enumerate(dims) if d > cur]
-            j = candidates[-1]
-            hi = dims[j]
-            pieces.append(outputs[j][..., cur:hi])
-            cur = hi
-        out = jnp.concatenate(pieces, axis=-1)
-
-        # final ×2 time downsample
+        out = self._recombine(outputs)
         f = cfg.output_downsampling_factor
-        out = SimpleDownsample(f, name="out_downsample")(out)
+        out = self.out_down(out)
         out_lens = -(-lens // f)
         out = jnp.where(make_non_pad_mask(out_lens, out.shape[1])[..., None],
                         out, 0.0)
@@ -574,3 +750,85 @@ class Zipformer2(nn.Module):
                     chunk_size=jnp.asarray(chunk_size, jnp.int32),
                     left_context_chunks=jnp.asarray(left_context_chunks,
                                                     jnp.int32))
+
+    # -------------------------------------------------------- true streaming
+    def init_streaming_state(self, batch_size: int, chunk_size: int = 32,
+                             left_context_chunks: int = 4) -> Dict[str, Any]:
+        """Streaming state (reference zipformer.py:575-599): six caches per
+        layer + raw-feature embed cache + processed-chunk counter.
+        chunk_size is in post-frontend frames and must be divisible by every
+        downsampling factor."""
+        cfg = self.config
+        for f in cfg.downsampling_factor:
+            assert chunk_size % f == 0, \
+                f"chunk_size {chunk_size} not divisible by ds factor {f}"
+        assert chunk_size % cfg.output_downsampling_factor == 0
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        B = batch_size
+        stack_caches = []
+        for i in range(len(cfg.encoder_dim)):
+            c = max(chunk_size // cfg.downsampling_factor[i], 1)
+            left = left_context_chunks * c
+            D = cfg.encoder_dim[i]
+            H = cfg.num_heads[i]
+            k = cfg.cnn_module_kernel[i]
+            stack_caches.append([
+                {"key": jnp.zeros((B, left, H * cfg.query_head_dim), dt),
+                 "nonlin": jnp.zeros((B, left, D * 3 // 4), dt),
+                 "val1": jnp.zeros((B, left, H * cfg.value_head_dim), dt),
+                 "val2": jnp.zeros((B, left, H * cfg.value_head_dim), dt),
+                 "conv1": jnp.zeros((B, k - 1, D), dt),
+                 "conv2": jnp.zeros((B, k - 1, D), dt)}
+                for _ in range(cfg.num_encoder_layers[i])
+            ])
+        return {
+            "embed_cache": jnp.zeros(
+                (batch_size, Conv2dSubsampling.RAW_CONTEXT,
+                 cfg.feature_dim), jnp.float32),
+            "stacks": stack_caches,
+            "processed": jnp.zeros((), jnp.int32),
+            "chunk_size": chunk_size,
+        }
+
+    def streaming_step(self, feats_chunk, state):
+        """feats_chunk (B, 2·chunk_size, F): exactly 2·chunk raw fbank
+        frames per step (the frontend halves the rate, so the sub-rate
+        stream advances by exactly `chunk` frames per step — no drift).
+        Returns (out (B, chunk // output_downsampling_factor, full_dim),
+        new_state).
+
+        The frontend's receptive field spans RAW_CONTEXT past frames, kept
+        in `embed_cache` (zero-initialized: the first chunk's leading
+        frames see zero left context — see module docstring).
+        """
+        cfg = self.config
+        # recombination reduces to the last stack's output when it is the
+        # widest (true for all shipped configs); asserted at state init
+        assert cfg.encoder_dim[-1] == max(cfg.encoder_dim), \
+            "streaming_step requires the last stack to be the widest"
+        B = feats_chunk.shape[0]
+        chunk = state["chunk_size"]
+        assert feats_chunk.shape[1] == 2 * chunk, \
+            f"need {2*chunk} raw frames/step, got {feats_chunk.shape[1]}"
+        raw = jnp.concatenate([state["embed_cache"], feats_chunk], axis=1)
+        lens = jnp.full((B,), raw.shape[1], jnp.int32)
+        x, _ = self.embed(raw, lens)
+        # keep exactly `chunk` frames ending at the newest mature frame
+        x = x[:, -chunk:]
+        new_embed_cache = raw[:, -Conv2dSubsampling.RAW_CONTEXT:]
+
+        processed = state["processed"]
+        new_stack_caches = []
+        for i, stack in enumerate(self.stacks):
+            c_i = max(chunk // cfg.downsampling_factor[i], 1)
+            valid = processed * c_i
+            x, nc = stack.streaming_step(x, state["stacks"][i], valid)
+            new_stack_caches.append(nc)
+        out = self.out_down(x)
+        new_state = {
+            "embed_cache": new_embed_cache,
+            "stacks": new_stack_caches,
+            "processed": processed + 1,
+            "chunk_size": chunk,
+        }
+        return out.astype(jnp.float32), new_state
