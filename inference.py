@@ -112,7 +112,7 @@ def run_inference(argv):
             arrays = {k: v for k, v in batch.items()
                       if not isinstance(v, list)}
             out = eval_fwd(params, arrays)
-            hyps = task.eval_hyps(out)
+            hyps = task.eval_hyps(out, params)
             refs = batch["text"]
             utts = batch["audio_filepath"]
             for utt, hyp, ref in zip(utts, hyps, refs):

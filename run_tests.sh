@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Full test battery: Python suite (virtual 8-CPU mesh), C++ runtime tests,
+# and the multi-chip dry run.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+echo "== Python test suite =="
+JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache} \
+    python -m pytest tests/ -q
+
+echo "== C++ runtime =="
+cmake -S runtime -B runtime/build -G Ninja >/dev/null
+ninja -C runtime/build >/dev/null
+ctest --test-dir runtime/build --output-on-failure
+
+echo "== multi-chip dry run (8 virtual devices) =="
+python __graft_entry__.py

@@ -95,6 +95,6 @@ class CifTask(AsrTaskBase):
         return {"val_loss": ce, "log_probs": log_probs,
                 "token_counts": infer["emit_counts"]}
 
-    def eval_hyps(self, eval_out) -> List[str]:
+    def eval_hyps(self, eval_out, params=None) -> List[str]:
         return self.decode_session.decode(eval_out["log_probs"],
                                           eval_out["token_counts"])

@@ -78,6 +78,6 @@ class CtcTask(AsrTaskBase):
         return {"val_loss": loss, "log_probs": log_probs,
                 "out_lens": out_lens}
 
-    def eval_hyps(self, eval_out) -> List[str]:
+    def eval_hyps(self, eval_out, params=None) -> List[str]:
         return self.decode_session.decode(eval_out["log_probs"],
                                           eval_out["out_lens"])

@@ -71,5 +71,5 @@ class NnLmTask(AsrTaskBase):
         acc = masked_topk_accuracy(logits, labels, mask, k=self.topk)
         return {"val_loss": loss, "acc": acc}
 
-    def eval_hyps(self, eval_out) -> List[str]:
+    def eval_hyps(self, eval_out, params=None) -> List[str]:
         return []

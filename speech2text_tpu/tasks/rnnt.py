@@ -143,12 +143,11 @@ class BaseRnntTask(AsrTaskBase):
         enc, enc_lens = self.model.apply({"params": params}, feats,
                                          feat_lens, deterministic=True,
                                          method=RnntModel.encode)
-        return {"params": params, "enc": enc, "enc_lens": enc_lens,
+        return {"enc": enc, "enc_lens": enc_lens,
                 "val_loss": jnp.zeros(())}
 
-    def eval_hyps(self, eval_out) -> List[str]:
-        return self.decode_session.decode(eval_out["params"],
-                                          eval_out["enc"],
+    def eval_hyps(self, eval_out, params=None) -> List[str]:
+        return self.decode_session.decode(params, eval_out["enc"],
                                           eval_out["enc_lens"])
 
 

@@ -127,5 +127,5 @@ class SslTask(AsrTaskBase):
         return {"val_loss": jnp.mean(jnp.stack(losses)),
                 "acc": jnp.mean(jnp.stack(accs))}
 
-    def eval_hyps(self, eval_out) -> List[str]:
+    def eval_hyps(self, eval_out, params=None) -> List[str]:
         return []  # SSL has no transcripts; Trainer uses val metrics only

@@ -219,7 +219,7 @@ class Trainer:
                 for k, v in out.items():
                     if hasattr(v, "ndim") and v.ndim == 0:
                         scalars.setdefault(k, []).append(float(v))
-                hyps = task.eval_hyps(out)
+                hyps = task.eval_hyps(out, params)
                 if hyps:
                     refs = reference_decoder(batch["label"],
                                              batch["label_length"],
