@@ -82,6 +82,9 @@ def run_inference(argv):
         train_cfg.setdefault("metric", {})["decode_method"] = dec["type"]
         for k, v in (dec.get("config", {}) or {}).items():
             train_cfg["metric"][k] = v
+    streaming = infer_cfg.get("streaming", {}) or {}
+    if streaming.get("is_encoder_streaming"):
+        train_cfg.setdefault("metric", {})["encoder_streaming"] = True
 
     task_type = _INFER_TO_TRAIN[task_section["type"]]
     task = TaskFactory(task_type)(train_cfg)

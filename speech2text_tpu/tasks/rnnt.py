@@ -140,9 +140,28 @@ class BaseRnntTask(AsrTaskBase):
     # ------------------------------------------------------------ evaluation
     def eval_forward(self, params, batch):
         feats, feat_lens = self.featurize(batch, None, training=False)
-        enc, enc_lens = self.model.apply({"params": params}, feats,
-                                         feat_lens, deterministic=True,
-                                         method=RnntModel.encode)
+        metric_cfg = self.config.get("metric", {}) or {}
+        if metric_cfg.get("encoder_streaming"):
+            # simulated-streaming encoder forward (reference
+            # rnnt_task.py:814-819 test_step streaming branch)
+            from ..models.zipformer import Zipformer2
+            cs = int(metric_cfg.get("streaming_chunk_size", 32))
+            lc = int(metric_cfg.get("streaming_left_chunks", 4))
+            if isinstance(self.model.encoder, Zipformer2):
+                enc, enc_lens = self.model.apply(
+                    {"params": params}, feats, feat_lens,
+                    deterministic=True,
+                    chunk_size=jnp.asarray(cs, jnp.int32),
+                    left_context_chunks=jnp.asarray(lc, jnp.int32),
+                    method=lambda m, *a, **k: m.encoder(*a, **k))
+            else:
+                enc, enc_lens = self.model.apply(
+                    {"params": params}, feats, feat_lens,
+                    deterministic=True, method=RnntModel.encode)
+        else:
+            enc, enc_lens = self.model.apply({"params": params}, feats,
+                                             feat_lens, deterministic=True,
+                                             method=RnntModel.encode)
         return {"enc": enc, "enc_lens": enc_lens,
                 "val_loss": jnp.zeros(())}
 

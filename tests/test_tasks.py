@@ -59,7 +59,7 @@ def check_task(task, batch):
     assert np.isfinite(gsum) and gsum > 0
     out = task.eval_forward(params, batch)
     assert np.isfinite(float(out["val_loss"]))
-    hyps = task.eval_hyps(out)
+    hyps = task.eval_hyps(out, params)
     assert isinstance(hyps, list)
     return loss, metrics, hyps
 
