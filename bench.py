@@ -44,7 +44,9 @@ def main():
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
     tx = scaled_adam(learning_rate=1e-3)
 
-    B = int(os.environ.get("BENCH_B", 16))
+    # B=24 is the sweet spot on v5e (B=32 falls off a memory
+    # cliff: 167 utt/s @24 vs 48 @32); see STATUS.md gap #6
+    B = int(os.environ.get("BENCH_B", 24))
     SECS, U = 10, 48
     N = SECS * 16000
     rng = np.random.default_rng(0)
