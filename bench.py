@@ -39,7 +39,8 @@ def main():
     import os
     vocab = 128
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    model = _build_model(_flagship_config(vocab, dtype=dtype, remat=True))
+    remat = os.environ.get("BENCH_REMAT", "1") != "0"
+    model = _build_model(_flagship_config(vocab, dtype=dtype, remat=remat))
     fbank = Fbank(FbankConfig(num_mel_bins=80, snip_edges=True))
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
     tx = scaled_adam(learning_rate=1e-3)

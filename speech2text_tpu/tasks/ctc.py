@@ -42,6 +42,19 @@ class CtcTask(AsrTaskBase):
         if method == "ctc_prefix_beam_search":
             self.decode_session = CtcPrefixBeamDecoding(
                 self.tokenizer, beam_size=metric_cfg.get("beam_size", 8))
+        elif method == "ctc_lexicon_beam_search":
+            # deployment-grade lexicon(+ARPA LM) beam via the C++ runtime
+            # (reference decoding.py:85-154 flashlight path); lexicon from
+            # a word list spelled with this tokenizer
+            from ..runtime_binding import CtcLexiconBeamDecoding
+            with open(metric_cfg["word_list"]) as f:
+                words = [w.strip() for w in f if w.strip()]
+            lexicon = {w: self.tokenizer.encode(w).tolist() for w in words}
+            self.decode_session = CtcLexiconBeamDecoding(
+                lexicon, arpa_path=metric_cfg.get("arpa_lm"),
+                beam_size=int(metric_cfg.get("beam_size", 16)),
+                lm_weight=float(metric_cfg.get("lm_weight", 1.0)),
+                word_score=float(metric_cfg.get("word_score", 0.0)))
         else:
             self.decode_session = CtcGreedyDecoding(self.tokenizer)
 
