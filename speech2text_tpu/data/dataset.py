@@ -56,6 +56,10 @@ class DataConfig:
     prefetch: int = 2
     batch_multiple: int = 1   # round batch sizes up (mesh divisibility)
     base_dir: str = ""    # manifest audio paths resolved relative to this
+    # in-memory decoded-PCM cache budget (bytes); wav decode dominates the
+    # single-threaded host pipeline, so repeated epochs over corpora that
+    # fit are served from RAM. 0 disables.
+    pcm_cache_bytes: int = 2 << 30
 
 
 def _resolve(base: str, path: str) -> str:
@@ -148,6 +152,22 @@ class AsrPipeline:
             self.noise_pool = NoisePool(config.noise_data, config.base_dir,
                                         sample_rate=config.sample_rate)
         self._rng = np.random.default_rng(seed + 7919 * shard_index)
+        self._pcm_cache: Dict[int, np.ndarray] = {}
+        self._pcm_cache_used = 0
+
+    def _load_pcm(self, j: int) -> np.ndarray:
+        cached = self._pcm_cache.get(j)
+        if cached is not None:
+            return cached
+        e = self.entries[j]
+        wav, sr = read_wav(_resolve(self.cfg.base_dir, e["audio_filepath"]))
+        if self.cfg.apply_segment and "offset" in e:
+            o = int(float(e["offset"]) * sr)
+            wav = wav[o:o + int(float(e["duration"]) * sr)]
+        if self._pcm_cache_used + wav.nbytes <= self.cfg.pcm_cache_bytes:
+            self._pcm_cache[j] = wav
+            self._pcm_cache_used += wav.nbytes
+        return wav
 
     # ------------------------------------------------------------- loading
     def _load_batch(self, bucket: int, idxs: List[int]) -> Dict[str, Any]:
@@ -160,11 +180,7 @@ class AsrPipeline:
         texts, paths = [], []
         for i, j in enumerate(idxs):
             e = self.entries[j]
-            wav, sr = read_wav(_resolve(self.cfg.base_dir,
-                                        e["audio_filepath"]))
-            if self.cfg.apply_segment and "offset" in e:
-                o = int(float(e["offset"]) * sr)
-                wav = wav[o:o + int(float(e["duration"]) * sr)]
+            wav = self._load_pcm(j)
             if self.use_speed_perturb:
                 speed = _SPEEDS[self._rng.integers(0, len(_SPEEDS))]
                 wav = speed_perturb(wav, speed)
