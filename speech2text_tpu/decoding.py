@@ -201,7 +201,12 @@ class RnntBeamDecoding:
     def __init__(self, tokenizer: Tokenizer, predictor_apply: Callable,
                  predictor_init_state: Callable, joiner_apply: Callable,
                  beam_size: int = 4, cutoff_top_k: int = 4,
-                 max_tokens: int = 256):
+                 max_tokens: int = 256, lm_step: Callable | None = None,
+                 lm_init: Callable | None = None, lm_weight: float = 0.0):
+        """lm_step/lm_init enable neural-LM shallow fusion (an extension
+        over the reference, whose NNLM task trains an LM for rescoring but
+        never wires it into decoding): emission scores gain
+        lm_weight · log p_LM(token | history)."""
         self._tokenizer = tokenizer
         self._pred_step = predictor_apply
         self._pred_init = predictor_init_state
@@ -209,6 +214,9 @@ class RnntBeamDecoding:
         self._W = beam_size
         self._K = cutoff_top_k
         self._cap = max_tokens
+        self._lm_step = lm_step
+        self._lm_init = lm_init
+        self._lm_weight = lm_weight
 
     @partial(jax.jit, static_argnames=("self",))
     def _decode_jit(self, params, enc_out, enc_lens):
@@ -219,13 +227,22 @@ class RnntBeamDecoding:
         state = self._pred_init(BW)
         pred, state = self._pred_step(params, jnp.zeros((BW,), jnp.int32),
                                       state)
+        use_lm = self._lm_step is not None and self._lm_weight != 0.0
+        if use_lm:
+            # lm carries (state, next-token distribution), predictor-style
+            lm_state = self._lm_init(BW)
+            lm_dist, lm_state = self._lm_step(
+                params, jnp.zeros((BW,), jnp.int32), lm_state)
+        else:
+            lm_state = jnp.zeros((BW, 1))
+            lm_dist = jnp.zeros((BW, 1))
         scores = jnp.full((B, W), NEG_INF).at[:, 0].set(0.0)
         tokens = jnp.zeros((B, W, cap), jnp.int32)
         counts = jnp.zeros((B, W), jnp.int32)
         b_idx = jnp.arange(B, dtype=jnp.int32)
 
         def frame(carry, xs):
-            state, pred, scores, tokens, counts = carry
+            state, pred, lm_state, lm_dist, scores, tokens, counts = carry
             enc_t, t = xs                                 # (B, D), scalar
             active = (t < enc_lens)                       # (B,)
             enc_bw = jnp.repeat(enc_t, W, axis=0)         # (BW, D)
@@ -233,6 +250,10 @@ class RnntBeamDecoding:
             V = logp.shape[-1]
             blank_sc = scores + logp[..., 0]              # (B, W)
             emit_lp = logp.at[..., 0].set(NEG_INF)
+            if use_lm:
+                # shallow fusion: add scaled LM log-probs to emissions
+                emit_lp = emit_lp + self._lm_weight * lm_dist.reshape(
+                    B, W, -1)[..., :V]
             top_lp, top_tok = lax.top_k(emit_lp, K)       # (B, W, K)
             emit_sc = scores[..., None] + top_lp          # (B, W, K)
             # candidates: [W blanks] ++ [W*K emits]
@@ -279,20 +300,32 @@ class RnntBeamDecoding:
                 lambda n, o: jnp.where(
                     emit_bw.reshape((BW,) + (1,) * (o.ndim - 1)), n, o),
                 stepped_state, par_state)
+            if use_lm:
+                par_lm = jax.tree.map(gs, lm_state)
+                par_dist = gs(lm_dist)
+                stepped_dist, stepped_lm = self._lm_step(
+                    params, tok.reshape(BW), par_lm)
+                new_lm = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        emit_bw.reshape((BW,) + (1,) * (o.ndim - 1)), n, o),
+                    stepped_lm, par_lm)
+                new_dist = jnp.where(emit_bw[:, None], stepped_dist,
+                                     par_dist)
+            else:
+                new_lm, new_dist = lm_state, lm_dist
 
             # frames beyond enc_len: carry previous beams through unchanged
             keep = active[:, None]
             scores_out = jnp.where(keep, sel_sc, scores)
             tokens_out = jnp.where(keep[..., None], new_tokens, tokens)
             counts_out = jnp.where(keep, new_counts, counts)
-            state_out = new_state
-            pred_out = new_pred
-            return (state_out, pred_out, scores_out, tokens_out,
-                    counts_out), None
+            return (new_state, new_pred, new_lm, new_dist, scores_out,
+                    tokens_out, counts_out), None
 
         ts = jnp.arange(T, dtype=jnp.int32)
-        (state, pred, scores, tokens, counts), _ = lax.scan(
-            frame, (state, pred, scores, tokens, counts),
+        (state, pred, lm_state, lm_dist, scores, tokens,
+         counts), _ = lax.scan(
+            frame, (state, pred, lm_state, lm_dist, scores, tokens, counts),
             (enc_out.swapaxes(0, 1), ts))
         best = jnp.argmax(scores, axis=1)
         best_tokens = tokens[b_idx, best]

@@ -86,12 +86,40 @@ class BaseRnntTask(AsrTaskBase):
             return self.model.apply({"params": params}, enc_frame, pred_out,
                                     method=RnntModel.joiner_step)
 
+        # optional neural-LM shallow fusion for beam search (uses an NNLM
+        # trained by the NNLM task; extension beyond the reference, which
+        # trains the LM for rescoring but never wires it into decoding)
+        lm_step = lm_init = None
+        lm_weight = 0.0
+        fusion = metric_cfg.get("lm_fusion") or {}
+        if fusion.get("checkpoint_dir"):
+            from ..config import from_dict
+            from ..models.rnn_lm import RnnLm, RnnLmConfig
+            from ..train.checkpoint import average_checkpoints
+            lm_cfg = dict(fusion.get("lm_config", {}) or {})
+            lm_cfg.setdefault("num_symbols", len(self.tokenizer))
+            lm_model = RnnLm(from_dict(RnnLmConfig, lm_cfg))
+            lm_params = average_checkpoints(
+                fusion["checkpoint_dir"],
+                best_k=int(fusion.get("best_k", 1)),
+                monitor=fusion.get("monitor", "acc"),
+                mode=fusion.get("mode", "max"))
+            lm_weight = float(fusion.get("lm_weight", 0.3))
+
+            def lm_step(params, token, state, _lm_params=lm_params):
+                return lm_model.apply({"params": _lm_params}, token, state,
+                                      method=RnnLm.score_step)
+
+            def lm_init(batch_size):
+                return lm_model.init_state(batch_size)
+
         method = metric_cfg.get("decode_method", "rnnt_greedy_search")
         if method == "rnnt_beam_search":
             self.decode_session = RnntBeamDecoding(
                 self.tokenizer, pred_step, pred_init, join_step,
                 beam_size=int(metric_cfg.get("beam_size", 4)),
-                cutoff_top_k=int(metric_cfg.get("cutoff_top_k", 4)))
+                cutoff_top_k=int(metric_cfg.get("cutoff_top_k", 4)),
+                lm_step=lm_step, lm_init=lm_init, lm_weight=lm_weight)
         else:
             self.decode_session = RnntGreedyDecoding(
                 self.tokenizer, pred_step, pred_init, join_step,

@@ -142,3 +142,47 @@ def test_reference_decoder():
     labels[0, :len(ids)] = ids
     out = reference_decoder(labels, np.asarray([len(ids)]), TOK)
     assert out == ["hello world"]
+
+
+class TestRnntBeamLmFusion:
+    """Neural-LM shallow fusion (extension beyond the reference): the LM
+    distribution must be able to flip the beam's choice on an acoustic
+    tie, and lm_weight=0 must reproduce the unfused result."""
+
+    def _sessions(self, V, lm_bias_token, lm_weight):
+        import jax
+
+        def pred_step(params, token, state):
+            return jnp.zeros((token.shape[0], 1, 4), jnp.float32), state
+
+        def pred_init(B):
+            return jnp.zeros((B, 1), jnp.int32)
+
+        def join(params, enc_frame, pred_out):
+            return jax.nn.log_softmax(enc_frame, axis=-1)
+
+        def lm_init(B):
+            return jnp.zeros((B, 1), jnp.int32)
+
+        def lm_step(params, token, state):
+            # static LM strongly preferring one token
+            dist = jnp.full((token.shape[0], V), -10.0)
+            dist = dist.at[:, lm_bias_token].set(0.0)
+            return dist, state
+
+        return RnntBeamDecoding(TOK, pred_step, pred_init, join,
+                                beam_size=2, cutoff_top_k=2,
+                                lm_step=lm_step, lm_init=lm_init,
+                                lm_weight=lm_weight)
+
+    def test_lm_flips_acoustic_tie(self):
+        V = len(TOK)
+        a, b = TOK.encode("ab").tolist()
+        enc = np.full((1, 1, V), -8.0, np.float32)
+        enc[0, 0, a] = 2.0
+        enc[0, 0, b] = 2.0 + 1e-4  # acoustically b barely wins
+        no_lm = self._sessions(V, a, 0.0)
+        assert no_lm.decode(None, jnp.asarray(enc), jnp.asarray([1])) == ["b"]
+        with_lm = self._sessions(V, a, 1.0)
+        assert with_lm.decode(None, jnp.asarray(enc),
+                              jnp.asarray([1])) == ["a"]
