@@ -196,7 +196,14 @@ class RnntGreedyDecoding:
 class RnntBeamDecoding:
     """Batched beam transducer decode (≤1 emission/frame, reference
     decoding.py:278-425) as one lax.scan; beams are a (B, W) tensor
-    dimension, pruning via top-k over W·(K+1) candidates per frame."""
+    dimension, pruning via top-k over W·(K+1) candidates per frame.
+
+    Duplicate hypotheses are merged each frame, as in the reference's
+    dict-keyed beam bookkeeping (model/decoding.py:278-425): the top 2·W
+    candidates' token prefixes are materialized, exact duplicates (e.g. a
+    beam that emitted then blanked vs one that blanked then emitted the
+    same token) are combined with logaddexp into the best-scoring copy,
+    and the rest of the probability mass/slots go to unique hypotheses."""
 
     def __init__(self, tokenizer: Tokenizer, predictor_apply: Callable,
                  predictor_init_state: Callable, joiner_apply: Callable,
@@ -259,28 +266,54 @@ class RnntBeamDecoding:
             # candidates: [W blanks] ++ [W*K emits]
             cand_sc = jnp.concatenate(
                 [blank_sc, emit_sc.reshape(B, W * K)], axis=1)
-            sel_sc, sel = lax.top_k(cand_sc, W)           # (B, W)
-            is_emit = sel >= W
-            parent = jnp.where(is_emit, (sel - W) // K, sel)
-            k_slot = jnp.clip(sel - W, 0, W * K - 1)
-            tok = jnp.take_along_axis(
-                top_tok.reshape(B, W * K), k_slot, axis=1)
-            tok = jnp.where(is_emit, tok, 0)
 
-            # gather parents
-            def g(x):  # (B, W, ...) gather along beam dim
+            # --- hypothesis merging over the top-M candidates
+            M = min(2 * W, W + W * K)
+            m_sc, m_sel = lax.top_k(cand_sc, M)           # (B, M) desc
+            m_is_emit = m_sel >= W
+            m_parent = jnp.where(m_is_emit, (m_sel - W) // K, m_sel)
+            m_kslot = jnp.clip(m_sel - W, 0, W * K - 1)
+            m_tok = jnp.take_along_axis(
+                top_tok.reshape(B, W * K), m_kslot, axis=1)
+            m_tok = jnp.where(m_is_emit, m_tok, 0)
+
+            def gm(x):  # (B, W, ...) gather candidate parents → (B, M, ...)
                 return jnp.take_along_axis(
-                    x, parent.reshape(B, W, *([1] * (x.ndim - 2))), axis=1)
+                    x, m_parent.reshape(B, M, *([1] * (x.ndim - 2))), axis=1)
 
-            new_tokens = g(tokens)
-            new_counts = g(counts[..., None])[..., 0]
+            c_tokens = gm(tokens)                         # (B, M, cap)
+            c_counts = gm(counts[..., None])[..., 0]      # (B, M)
             slot = jnp.arange(cap, dtype=jnp.int32)
-            write = (is_emit[..., None]
-                     & (slot[None, None, :] == new_counts[..., None])
-                     & (new_counts[..., None] < cap))
-            new_tokens = jnp.where(write, tok[..., None], new_tokens)
-            new_counts = new_counts + (is_emit
-                                       & (new_counts < cap)).astype(jnp.int32)
+            wr = (m_is_emit[..., None]
+                  & (slot[None, None, :] == c_counts[..., None])
+                  & (c_counts[..., None] < cap))
+            c_tokens = jnp.where(wr, m_tok[..., None], c_tokens)
+            c_counts = c_counts + (m_is_emit
+                                   & (c_counts < cap)).astype(jnp.int32)
+            # exact prefix equality (pads are zero-filled, so elementwise
+            # equality over cap slots ⟺ equal prefixes)
+            eq = ((c_counts[:, :, None] == c_counts[:, None, :])
+                  & jnp.all(c_tokens[:, :, None, :] == c_tokens[:, None, :, :],
+                            axis=-1))                     # (B, M, M)
+            gmax = jnp.max(jnp.where(eq, m_sc[:, None, :], NEG_INF), axis=-1)
+            gsum = jnp.sum(jnp.where(eq, jnp.exp(m_sc[:, None, :]
+                                                 - gmax[..., None]), 0.0),
+                           axis=-1)
+            merged_sc = gmax + jnp.log(gsum)
+            i_idx = jnp.arange(M, dtype=jnp.int32)
+            # duplicates fold into the best-scoring (lowest-index) copy
+            dup = jnp.any(eq & (i_idx[None, :, None] > i_idx[None, None, :]),
+                          axis=-1)
+            merged_sc = jnp.where(dup, NEG_INF, merged_sc)
+
+            sel_sc, sel_m = lax.top_k(merged_sc, W)       # (B, W) → idx in M
+            take = lambda x: jnp.take_along_axis(x, sel_m, axis=1)
+            is_emit = take(m_is_emit)
+            parent = take(m_parent)
+            tok = take(m_tok)
+            new_tokens = jnp.take_along_axis(c_tokens, sel_m[..., None],
+                                             axis=1)
+            new_counts = take(c_counts)
 
             # predictor advance for emitted beams
             def gs(x):  # state leaves have leading dim BW

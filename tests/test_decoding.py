@@ -186,3 +186,27 @@ class TestRnntBeamLmFusion:
         with_lm = self._sessions(V, a, 1.0)
         assert with_lm.decode(None, jnp.asarray(enc),
                               jnp.asarray([1])) == ["a"]
+
+
+class TestRnntBeamMerging:
+    """Duplicate-hypothesis merging (reference model/decoding.py:278-425
+    keys beams by token prefix): probability mass of a prefix reached via
+    emit-then-blank and blank-then-emit must combine, and the combined
+    mass can beat a single-path competitor."""
+
+    def test_merge_changes_winner(self):
+        V = len(TOK)
+        a, b = TOK.encode("ab").tolist()
+        # frame 1: p(blank)=0.3, p(a)=0.25, p(b)=0.45
+        # frame 2: p(blank)=0.5, p(a)=0.5,  p(b)≈0
+        # "a" mass = .25*.5 + .3*.5 = .275 (two paths, merged)
+        # "b" mass ≈ .45*.5 = .225 (one path)
+        # Unmerged, the single best path is "b" (.225 > .15); merged, "a".
+        f1 = np.full((V,), -30.0, np.float32)
+        f1[0], f1[a], f1[b] = np.log([0.3, 0.25, 0.45])
+        f2 = np.full((V,), -30.0, np.float32)
+        f2[0], f2[a] = np.log([0.5, 0.5])
+        enc = np.stack([f1, f2])[None]  # (1, 2, V)
+        sess = fake_rnnt_sessions(V, beam=True, beam_size=3, cutoff_top_k=2)
+        out = sess.decode(None, jnp.asarray(enc), jnp.asarray([2]))
+        assert out == ["a"]
