@@ -20,18 +20,26 @@ model/encoder/zipformer.py:48-899):
   `encoder_unmasked_dim` (zipformer.py:229-288) and random chunked-causal
   attention masks (zipformer.py:290-317,409-448). Simulated streaming
   `streaming_forward` applies a fixed chunk mask (zipformer.py:391-407).
-- **True cached streaming** (`init_streaming_state`/`streaming_step`,
-  reference zipformer.py:528-663): per layer the same six caches as the
-  reference — attention key, nonlin-attention value, two attention values,
-  two convolution left-contexts — plus a raw-feature embed cache. The
-  frontend's ConvNeXt block is non-causal (±3 subsampled frames); its
-  left boundary is zero-initialized, so the first chunk's leading frames
-  differ slightly from a full forward (documented; later chunks match the
-  chunk-masked training computation).
+- **True cached streaming** (`init_streaming_state`/`streaming_prime`/
+  `streaming_step`, reference zipformer.py:528-663): per layer the same
+  six caches as the reference — attention key, nonlin-attention value,
+  two attention values, two convolution left-contexts — plus frontend
+  caches (8 raw frames for the stride-2 conv stack, 6 sub-frames for the
+  causal ConvNeXt). Streaming reproduces the chunk-masked full forward
+  EXACTLY from frame 0 (tested in tests/test_zipformer_streaming.py).
+- Training dynamics (`dynamics: true`): ScheduledFloat-driven
+  attention/conv/ff skip-rate schedules, const-attention, bypass
+  scale_min/skip schedules, and per-module Balancer/Whiten placements
+  with the reference's limits (zipformer.py:937-950,1015-1072,1499-1555,
+  2405-2437), all evaluated on the traced global step inside one
+  compiled program.
 
 Design deviations from icefall (intentional, TPU-first):
-- Balancer/Whiten gradient shapers are config-gated custom_vjp identities
-  (ops/regularizers.py) instead of always-on fp16-era heuristics.
+- The frontend ConvNeXt is causal (left-pad 6) when `causal=True`,
+  replacing the reference's centered kernel + 3-frame streaming holdback
+  (subsampling.py:300-414) — exact streaming with fixed shapes.
+- Balancer/Whiten apply their expected gradient (prob-scaled) every step
+  instead of host-side Bernoulli application (see ops/regularizers.py).
 - BatchNorm-free everywhere → no cross-batch state to sync under SPMD.
 """
 
@@ -77,16 +85,35 @@ class BiasNorm(nn.Module):
 
 class BypassModule(nn.Module):
     """y = x + c·(m(x) − x), c learnable per channel, clamped to [min, 1]
-    (reference zipformer.py:1499-1555)."""
+    (reference zipformer.py:1499-1555).
+
+    In dynamics mode `scale_min` is the traced ScheduledFloat value
+    ((0, 0.9) → (20000, 0.2)) applied as a straight-through clamp
+    (reference `limit_param_value`), and `skip_mask` (B, 1, 1) implements
+    the per-sequence layer-skip (`skip_rate`)."""
     min_scale: float = 0.25
 
     @nn.compact
-    def __call__(self, x_orig, x_new):
+    def __call__(self, x_orig, x_new, scale_min=None, skip_mask=None):
         d = x_new.shape[-1]
         scale = self.param("bypass_scale",
                            nn.initializers.constant(0.5), (d,))
-        c = jnp.clip(scale, self.min_scale, 1.0)
+        if scale_min is None:
+            c = jnp.clip(scale, self.min_scale, 1.0)
+        else:
+            from ..ops.regularizers import limit_param_value
+            c = limit_param_value(scale, scale_min, 1.0)
+        if skip_mask is not None:
+            c = c * skip_mask
         return x_orig + c * (x_new - x_orig)
+
+
+def scaled_init(scale: float):
+    """ScaledLinear-equivalent kernel init (reference scaling.py:479-550):
+    default init shrunk by `initial_scale` so residual-branch outputs start
+    small."""
+    return nn.initializers.variance_scaling(scale * scale, "fan_in",
+                                            "truncated_normal")
 
 
 def convert_num_channels(x: jnp.ndarray, num_channels: int) -> jnp.ndarray:
@@ -132,50 +159,127 @@ class SimpleUpsample(nn.Module):
 # ------------------------------------------------------ frontend (½ rate)
 class ConvNeXtBlock(nn.Module):
     """Residual depthwise-conv block inside the subsampling frontend
-    (reference model/layer/subsampling.py:26-178)."""
+    (reference model/layer/subsampling.py:26-178).
+
+    When `causal`, the 7-tap time kernel is left-padded (6, 0) instead of
+    centered — a TPU-first replacement for the reference's centered kernel
+    + 3-frame streaming holdback (subsampling.py:300-414): streaming then
+    needs only a 6-sub-frame left cache (`step`) and reproduces the full
+    forward exactly."""
     channels: int
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
 
-    @nn.compact
+    CONTEXT = 6  # time receptive field − 1
+
+    def setup(self):
+        self.dw = nn.Conv(self.channels, kernel_size=(7, 7),
+                          padding="VALID",
+                          feature_group_count=self.channels,
+                          dtype=self.dtype)
+        self.pw1 = nn.Dense(self.channels * 3, dtype=self.dtype)
+        # reference ScaledConv2d initial_scale=0.01 (subsampling.py:67-72)
+        self.pw2 = nn.Dense(self.channels, dtype=self.dtype,
+                            kernel_init=scaled_init(0.01))
+
+    def _h(self, xw):
+        """xw: time already padded/windowed; freq padded SAME here."""
+        xp = jnp.pad(xw, ((0, 0), (0, 0), (3, 3), (0, 0)))
+        h = self.dw(xp)
+        return self.pw2(swoosh_l(self.pw1(h)))
+
     def __call__(self, x):  # (B, T, F, C)
-        h = nn.Conv(self.channels, kernel_size=(7, 7), padding="SAME",
-                    feature_group_count=self.channels, dtype=self.dtype)(x)
-        h = nn.Dense(self.channels * 3, dtype=self.dtype)(h)
-        h = swoosh_l(h)
-        h = nn.Dense(self.channels, dtype=self.dtype)(h)
-        return x + h
+        pad_t = (self.CONTEXT, 0) if self.causal else (3, 3)
+        xw = jnp.pad(x, ((0, 0), pad_t, (0, 0), (0, 0)))
+        return x + self._h(xw)
+
+    def step(self, window):
+        """Causal streaming: window (B, CONTEXT + c, F, C) of consecutive
+        sub-frames (cache ++ new) → outputs for the c new frames, exactly
+        equal to the causal `__call__` on the full stream."""
+        return window[:, self.CONTEXT:] + self._h(window)
 
 
 class Conv2dSubsampling(nn.Module):
     """fbank (B, T, F) → (B, (T−7)//2 − 1, out_dim) (reference
-    model/layer/subsampling.py:181-414 length arithmetic)."""
+    model/layer/subsampling.py:181-414 length arithmetic).
+
+    Streaming (causal=True only): the conv stack consumes raw frames with
+    a 9-frame receptive field at stride 2, so `stream_prime` takes the
+    first `2c + RAW_TAIL` raw frames (emitting sub-frames from s₀ with no
+    boundary error) and `stream_step` takes `2c` raw frames per chunk,
+    carrying an 8-raw-frame tail + 6-sub-frame ConvNeXt cache. Outputs are
+    bit-identical to `__call__` on the whole stream (the zero-initialized
+    ConvNeXt cache coincides with the causal `__call__`'s left padding)."""
     out_dim: int
     mid_channels: int = 32
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
 
-    # raw-frame left context consumed by the conv chain + ConvNeXt lookback
-    RAW_CONTEXT = 20
+    # raw frames carried between chunks for the stride-2 conv stack
+    RAW_TAIL = 8
+    MID_CHANNELS = 32  # default mid_channels, for cache construction
 
-    @nn.compact
-    def __call__(self, x, lengths):
-        h = x[..., None].astype(self.dtype)                # (B, T, F, 1)
-        h = nn.Conv(self.mid_channels, (3, 3), strides=(1, 1),
-                    padding="VALID", dtype=self.dtype)(h)
-        h = swoosh_r(h)
-        h = nn.Conv(self.mid_channels, (3, 3), strides=(2, 2),
-                    padding="VALID", dtype=self.dtype)(h)
-        h = swoosh_r(h)
-        h = nn.Conv(self.mid_channels, (3, 3), strides=(1, 1),
-                    padding="VALID", dtype=self.dtype)(h)
-        h = swoosh_r(h)
-        h = ConvNeXtBlock(self.mid_channels, self.dtype)(h)
+    def setup(self):
+        self.conv1 = nn.Conv(self.mid_channels, (3, 3), strides=(1, 1),
+                             padding="VALID", dtype=self.dtype)
+        self.conv2 = nn.Conv(self.mid_channels, (3, 3), strides=(2, 2),
+                             padding="VALID", dtype=self.dtype)
+        self.conv3 = nn.Conv(self.mid_channels, (3, 3), strides=(1, 1),
+                             padding="VALID", dtype=self.dtype)
+        self.convnext = ConvNeXtBlock(self.mid_channels, self.dtype,
+                                      self.causal)
+        self.out = nn.Dense(self.out_dim, dtype=self.dtype)
+        self.out_norm = BiasNorm(self.dtype)
+
+    def _stack(self, x):  # (B, T, F) → (B, (T−9)//2+1, F2, C)
+        h = x[..., None].astype(self.dtype)
+        h = swoosh_r(self.conv1(h))
+        h = swoosh_r(self.conv2(h))
+        return swoosh_r(self.conv3(h))
+
+    def _head(self, h):  # (B, T2, F2, C) → (B, T2, out_dim)
         B, T2, F2, C = h.shape
-        h = nn.Dense(self.out_dim, dtype=self.dtype)(h.reshape(B, T2,
-                                                               F2 * C))
-        h = BiasNorm(self.dtype)(h)
+        return self.out_norm(self.out(h.reshape(B, T2, F2 * C)))
+
+    @staticmethod
+    def freq_dim(feature_dim: int) -> int:
+        return ((feature_dim - 2 - 3) // 2 + 1) - 2
+
+    def __call__(self, x, lengths):
+        h = self._head(self.convnext(self._stack(x)))
         lengths = lengths.astype(jnp.int32)
         out_len = (((lengths - 2) - 3) // 2 + 1) - 2       # (T−7)//2 − 1
         return h, jnp.maximum(out_len, 0)
+
+    # ------------------------------------------------------------ streaming
+    def init_cache(self, batch_size: int, feature_dim: int):
+        assert self.causal, "exact streaming requires causal ConvNeXt"
+        F2 = self.freq_dim(feature_dim)
+        return {
+            "raw_tail": jnp.zeros((batch_size, self.RAW_TAIL, feature_dim),
+                                  jnp.float32),
+            "sub": jnp.zeros((batch_size, ConvNeXtBlock.CONTEXT, F2,
+                              self.mid_channels), self.dtype),
+        }
+
+    def stream_prime(self, feats, cache):
+        """First chunk: (B, 2c + RAW_TAIL, F) raw frames → (B, c, out_dim).
+        The zero `sub` cache reproduces the causal left padding exactly."""
+        h = self._stack(feats)                      # (B, c, F2, C)
+        win = jnp.concatenate([cache["sub"], h], axis=1)
+        out = self._head(self.convnext.step(win))
+        return out, {"raw_tail": feats[:, -self.RAW_TAIL:],
+                     "sub": win[:, -ConvNeXtBlock.CONTEXT:]}
+
+    def stream_step(self, feats, cache):
+        """Steady state: (B, 2c, F) raw frames → (B, c, out_dim)."""
+        raw = jnp.concatenate([cache["raw_tail"], feats], axis=1)
+        h = self._stack(raw)                        # (B, c, F2, C)
+        win = jnp.concatenate([cache["sub"], h], axis=1)
+        out = self._head(self.convnext.step(win))
+        return out, {"raw_tail": raw[:, -self.RAW_TAIL:],
+                     "sub": win[:, -ConvNeXtBlock.CONTEXT:]}
 
 
 # ------------------------------------------------------------- attention
@@ -290,7 +394,8 @@ class SelfAttention(nn.Module):
     def setup(self):
         self.v_proj = nn.Dense(self.num_heads * self.value_head_dim,
                                dtype=self.dtype)
-        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype,
+                                 kernel_init=scaled_init(0.05))
 
     def _attend(self, weights, v, B, Tq):
         H, vd = self.num_heads, self.value_head_dim
@@ -316,23 +421,45 @@ class SelfAttention(nn.Module):
 class NonlinAttention(nn.Module):
     """Gated single-head attention (reference zipformer.py:2381-2544):
     in_proj → (s, a, b); values = a·tanh(s) attended by the first head's
-    weights, gated again by tanh(s) on the query side."""
+    weights, then gated post-attention by the third chunk b
+    (reference zipformer.py:2455-2478: ``x = x * y``)."""
     embed_dim: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.in_proj = nn.Dense(3 * self.hidden, dtype=self.dtype)
-        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype,
+                                 kernel_init=scaled_init(0.05))
 
-    def __call__(self, x, attn_weights_1head):
+    def __call__(self, x, attn_weights_1head, dyn_step=None):
+        """dyn_step: traced global step enabling the reference's internal
+        balancer on the sigmoid branch + whiten1/whiten2 placements
+        (zipformer.py:2405-2437) with their scheduled limits."""
         h = self.in_proj(x)
         s, a, b = jnp.split(h, 3, axis=-1)
+        if dyn_step is not None:
+            from ..ops.regularizers import (ScheduledFloat, balancer,
+                                            whiten, whitening_schedule)
+            s = balancer(
+                s,
+                min_positive=ScheduledFloat((0.0, 0.25),
+                                            (20000.0, 0.05))(dyn_step),
+                max_positive=ScheduledFloat((0.0, 0.75),
+                                            (20000.0, 0.95))(dyn_step),
+                min_abs=0.5, max_abs=5.0,
+                prob=ScheduledFloat((0.0, 0.5), (8000.0, 0.125))(dyn_step))
+            a = whiten(a, whitening_schedule(5.0)(dyn_step), 0.01, 0.25)
         v = a * jnp.tanh(s)
         out = jnp.einsum("bts,bsd->btd", attn_weights_1head, v,
                          preferred_element_type=jnp.float32)
-        out = jnp.tanh(s) * out.astype(self.dtype)
-        return self.out_proj(out)
+        out = b * out.astype(self.dtype)
+        out = self.out_proj(out)
+        if dyn_step is not None:
+            from ..ops.regularizers import whiten, whitening_schedule
+            out = whiten(out, whitening_schedule(5.0, 3.0)(dyn_step),
+                         0.01, 0.25)
+        return out
 
     def step(self, x_chunk, weights_1head, cached_v):
         """weights_1head (B, C, L+C); cached_v (B, L, hidden)."""
@@ -343,7 +470,7 @@ class NonlinAttention(nn.Module):
         v = jnp.concatenate([cached_v, v_new], axis=1)
         out = jnp.einsum("bts,bsd->btd", weights_1head, v,
                          preferred_element_type=jnp.float32)
-        out = jnp.tanh(s) * out.astype(self.dtype)
+        out = b * out.astype(self.dtype)
         return self.out_proj(out), v[:, -L:] if L else cached_v
 
 
@@ -357,7 +484,8 @@ class FeedforwardModule(nn.Module):
         h = nn.Dense(self.ff_dim, dtype=self.dtype, name="in")(x)
         h = swoosh_l(h)
         h = nn.Dropout(rate=dropout)(h, deterministic=deterministic)
-        return nn.Dense(D, dtype=self.dtype, name="out")(h)
+        return nn.Dense(D, dtype=self.dtype, name="out",
+                        kernel_init=scaled_init(0.1))(h)
 
 
 class ConvolutionModule(nn.Module):
@@ -372,7 +500,8 @@ class ConvolutionModule(nn.Module):
         self.in_proj = nn.Dense(2 * self.dim, dtype=self.dtype)
         self.dw = nn.Conv(self.dim, (self.kernel_size,), padding="VALID",
                           feature_group_count=self.dim, dtype=self.dtype)
-        self.out_proj = nn.Dense(self.dim, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.dim, dtype=self.dtype,
+                                 kernel_init=scaled_init(0.05))
 
     def _post(self, h):
         return self.out_proj(swoosh_r(h))
@@ -408,8 +537,7 @@ class Zipformer2EncoderLayer(nn.Module):
     causal: bool
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
-    use_balancer: bool = False
-    use_whiten: bool = False
+    dynamics: bool = False
 
     def setup(self):
         D = self.embed_dim
@@ -433,25 +561,105 @@ class Zipformer2EncoderLayer(nn.Module):
         self.bypass = BypassModule()
 
     def __call__(self, x, pos_emb, pad_mask, attn_mask=None,
-                 deterministic=True):
-        from ..ops.regularizers import balancer, whiten
+                 deterministic=True, step=None):
+        """`step`: traced global-step scalar driving the icefall training
+        dynamics when `dynamics` is on and training: ScheduledFloat
+        skip-rate schedules for attention/conv/ff modules + const-attention
+        + bypass scale_min/skip (reference zipformer.py:937-950,
+        1139-1221, 1499-1555) and per-module Balancer/Whiten placements
+        with the reference's limits (zipformer.py:1015-1072)."""
+        from ..ops.regularizers import (ScheduledFloat, balancer, whiten,
+                                        whitening_schedule)
+        B = x.shape[0]
+        dyn = self.dynamics and not deterministic
+        if dyn:
+            s = (step if step is not None
+                 else jnp.asarray(10 ** 9, jnp.float32))
+            attn_skip = ScheduledFloat((0.0, 0.2), (4000.0, 0.05),
+                                       (16000.0, 0.0))(s)
+            conv_skip = attn_skip  # same schedule (zipformer.py:937-941)
+            const_attn = ScheduledFloat((0.0, 0.25), (4000.0, 0.025))(s)
+            ff2_skip = ScheduledFloat((0.0, 0.1), (4000.0, 0.01),
+                                      (50000.0, 0.0))(s)
+            ff3_skip = ff2_skip
+            bypass_skip = ScheduledFloat((0.0, 0.5), (4000.0, 0.02))(s)
+            bypass_min = ScheduledFloat((0.0, 0.9), (20000.0, 0.2))(s)
+            bal_prob = ScheduledFloat((0.0, 0.5), (8000.0, 0.125))(s)
+            keys = jax.random.split(self.make_rng("dropout"), 7)
+
+            def seq_keep(key, rate):
+                # per-sequence module skipping, no 1/(1-p) rescale
+                # (reference sequence_dropout, zipformer.py:1074-1092)
+                return (jax.random.uniform(key, (B, 1, 1))
+                        >= rate).astype(x.dtype)
+
+            m_attn = seq_keep(keys[0], attn_skip)
+            m_conv1 = seq_keep(keys[1], conv_skip)
+            m_conv2 = seq_keep(keys[2], conv_skip)
+            m_ff2 = seq_keep(keys[3], ff2_skip)
+            m_ff3 = seq_keep(keys[4], ff3_skip)
+            m_bypass = seq_keep(keys[5], bypass_skip)
+            use_const = jax.random.bernoulli(keys[6], const_attn)
+
         attn_w = self.attn_weights(x, pos_emb, attn_mask)
+        na_w = attn_w[:, 0]
+        if dyn:
+            # const-attention: averaging-over-allowed-positions weights
+            # (reference zipformer.py:1143-1155)
+            wc = (na_w > 0).astype(na_w.dtype)
+            wc = wc / jnp.maximum(wc.sum(-1, keepdims=True), 1e-9)
+            na_w = jnp.where(use_const, wc, na_w)
         src = x
         x = x + self.ff1(x, deterministic, self.dropout)
-        x = x + self.nonlin_attn(x, attn_w[:, 0])
-        x = x + self.self_attn1(x, attn_w)
-        x = x + self.conv1(x, pad_mask)
-        x = x + self.ff2(x, deterministic, self.dropout)
-        if self.use_balancer and not deterministic:
-            x = balancer(x)
-        x = self.bypass_mid(src, x)
-        x = x + self.self_attn2(x, attn_w)
-        x = x + self.conv2(x, pad_mask)
-        x = x + self.ff3(x, deterministic, self.dropout)
+        na = self.nonlin_attn(x, na_w, dyn_step=(s if dyn else None))
+        if dyn:
+            na = balancer(na, 0.3, 0.7,
+                          min_abs=ScheduledFloat((0.0, 0.004),
+                                                 (4000.0, 0.02))(s),
+                          prob=0.05)
+            x = x + na * m_attn
+        else:
+            x = x + na
+        sa1 = self.self_attn1(x, attn_w)
+        x = x + (sa1 * m_attn if dyn else sa1)
+        c1 = self.conv1(x, pad_mask)
+        x = x + (c1 * m_conv1 if dyn else c1)
+        f2 = self.ff2(x, deterministic, self.dropout)
+        if dyn:
+            f2 = balancer(f2, 0.3, 0.7,
+                          min_abs=ScheduledFloat((0.0, 0.0),
+                                                 (4000.0, 0.1))(s),
+                          max_abs=2.0, prob=0.05)
+            x = x + f2 * m_ff2
+        else:
+            x = x + f2
+        x = (self.bypass_mid(src, x, scale_min=bypass_min) if dyn
+             else self.bypass_mid(src, x))
+        sa2 = self.self_attn2(x, attn_w)
+        x = x + (sa2 * m_attn if dyn else sa2)
+        c2 = self.conv2(x, pad_mask)
+        x = x + (c2 * m_conv2 if dyn else c2)
+        f3 = self.ff3(x, deterministic, self.dropout)
+        if dyn:
+            f3 = balancer(f3, 0.3, 0.7,
+                          min_abs=ScheduledFloat((0.0, 0.0),
+                                                 (4000.0, 0.2))(s),
+                          max_abs=4.0, prob=0.05)
+            x = x + f3 * m_ff3
+        else:
+            x = x + f3
+        if dyn:
+            x = balancer(x, 0.45, 0.55, min_abs=0.2, max_abs=4.0,
+                         prob=bal_prob)
         x = self.norm(x)
-        if self.use_whiten and not deterministic:
-            x = whiten(x)
-        x = self.bypass(src, x)
+        if dyn:
+            x = self.bypass(src, x, scale_min=bypass_min,
+                            skip_mask=m_bypass)
+            x = balancer(x, 0.45, 0.55, min_abs=0.1, max_abs=4.0,
+                         prob=bal_prob)
+            x = whiten(x, whitening_schedule(4.0, 3.0)(s), 0.01, 0.25)
+        else:
+            x = self.bypass(src, x)
         return x
 
     # ------------------------------------------------------------ streaming
@@ -517,8 +725,7 @@ class Zipformer2Stack(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
-    use_balancer: bool = False
-    use_whiten: bool = False
+    dynamics: bool = False
 
     def setup(self):
         layer_cls = Zipformer2EncoderLayer
@@ -530,8 +737,7 @@ class Zipformer2Stack(nn.Module):
                       self.query_head_dim, self.value_head_dim,
                       self.pos_head_dim, self.pos_dim, self.kernel_size,
                       self.causal, self.dropout, self.dtype,
-                      self.use_balancer, self.use_whiten,
-                      name=f"layer{i}")
+                      self.dynamics, name=f"layer{i}")
             for i in range(self.num_layers)
         ]
         self.down = SimpleDownsample(self.downsample, name="downsample")
@@ -539,7 +745,8 @@ class Zipformer2Stack(nn.Module):
         self.penc = CompactRelPositionalEncoding(self.pos_dim)
         self.stack_bypass = BypassModule(name="stack_bypass")
 
-    def __call__(self, x, lengths, attn_mask_fn, deterministic=True):
+    def __call__(self, x, lengths, attn_mask_fn, deterministic=True,
+                 step=None):
         B, T, D_in = x.shape
         x_orig = x
         x = convert_num_channels(x, self.embed_dim)
@@ -550,11 +757,20 @@ class Zipformer2Stack(nn.Module):
         attn_mask = attn_mask_fn(Td, self.downsample, pad_mask)
         pos_emb = self.penc(Td)
         for layer in self.layers:
-            x = layer(x, pos_emb, pad_mask, attn_mask, deterministic)
+            x = layer(x, pos_emb, pad_mask, attn_mask, deterministic, step)
         x = self.up(x, T)
         x = jnp.where(make_non_pad_mask(lengths, T)[..., None], x, 0.0)
         d_common = min(D_in, self.embed_dim)
-        out = self.stack_bypass(x_orig[..., :d_common], x[..., :d_common])
+        if self.dynamics and not deterministic:
+            from ..ops.regularizers import ScheduledFloat
+            s = (step if step is not None
+                 else jnp.asarray(10 ** 9, jnp.float32))
+            smin = ScheduledFloat((0.0, 0.9), (20000.0, 0.2))(s)
+            out = self.stack_bypass(x_orig[..., :d_common],
+                                    x[..., :d_common], scale_min=smin)
+        else:
+            out = self.stack_bypass(x_orig[..., :d_common],
+                                    x[..., :d_common])
         if self.embed_dim > d_common:
             out = jnp.concatenate([out, x[..., d_common:]], axis=-1)
         return out
@@ -629,8 +845,9 @@ class Zipformer2Config:
     ctc_out_dim: int = -1
     dtype: str = "float32"
     remat: bool = False
-    use_balancer: bool = False
-    use_whiten: bool = False
+    # icefall training dynamics: skip-rate/bypass schedules + per-module
+    # Balancer/Whiten placements (reference zipformer.py:937-950,1015-1072)
+    dynamics: bool = False
 
     @classmethod
     def from_config(cls, cfg: dict) -> "Zipformer2Config":
@@ -656,7 +873,7 @@ class Zipformer2(nn.Module):
         cfg = self.config
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self.embed = Conv2dSubsampling(cfg.encoder_dim[0], dtype=dt,
-                                       name="embed")
+                                       causal=cfg.causal, name="embed")
         self.stacks = [
             Zipformer2Stack(
                 num_layers=cfg.num_encoder_layers[i],
@@ -673,8 +890,7 @@ class Zipformer2(nn.Module):
                 dropout=cfg.dropout,
                 dtype=dt,
                 remat=cfg.remat,
-                use_balancer=cfg.use_balancer,
-                use_whiten=cfg.use_whiten,
+                dynamics=cfg.dynamics,
                 name=f"stack{i}")
             for i in range(len(cfg.encoder_dim))
         ]
@@ -696,7 +912,8 @@ class Zipformer2(nn.Module):
 
     def __call__(self, feats, lengths, deterministic: bool = True,
                  chunk_size: Optional[jnp.ndarray] = None,
-                 left_context_chunks: Optional[jnp.ndarray] = None):
+                 left_context_chunks: Optional[jnp.ndarray] = None,
+                 step: Optional[jnp.ndarray] = None):
         cfg = self.config
         x, lens = self.embed(feats, lengths)
         B, T, _ = x.shape
@@ -725,7 +942,7 @@ class Zipformer2(nn.Module):
 
         outputs = []
         for i, stack in enumerate(self.stacks):
-            x = stack(x, lens, attn_mask_fn, deterministic)
+            x = stack(x, lens, attn_mask_fn, deterministic, step)
             if keep is not None:
                 um = cfg.encoder_unmasked_dim[i]
                 d_idx = jnp.arange(x.shape[-1])
@@ -752,17 +969,27 @@ class Zipformer2(nn.Module):
                                                     jnp.int32))
 
     # -------------------------------------------------------- true streaming
+    PRIME_EXTRA_RAW = Conv2dSubsampling.RAW_TAIL  # extra raw frames, chunk 0
+
     def init_streaming_state(self, batch_size: int, chunk_size: int = 32,
                              left_context_chunks: int = 4) -> Dict[str, Any]:
         """Streaming state (reference zipformer.py:575-599): six caches per
-        layer + raw-feature embed cache + processed-chunk counter.
-        chunk_size is in post-frontend frames and must be divisible by every
-        downsampling factor."""
+        layer + frontend caches + processed-chunk counter. chunk_size is in
+        post-frontend frames and must be divisible by every downsampling
+        factor.
+
+        The first chunk must go through `streaming_prime` with
+        `2·chunk_size + PRIME_EXTRA_RAW` raw frames; every later chunk
+        through `streaming_step` with `2·chunk_size` raw frames. The
+        emitted frames then reproduce the chunk-masked full forward
+        EXACTLY from frame 0 (causal ConvNeXt — see Conv2dSubsampling)."""
         cfg = self.config
+        assert cfg.causal, "true streaming requires a causal config"
         for f in cfg.downsampling_factor:
             assert chunk_size % f == 0, \
                 f"chunk_size {chunk_size} not divisible by ds factor {f}"
         assert chunk_size % cfg.output_downsampling_factor == 0
+        assert 2 * chunk_size >= Conv2dSubsampling.RAW_TAIL
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         B = batch_size
         stack_caches = []
@@ -781,42 +1008,25 @@ class Zipformer2(nn.Module):
                  "conv2": jnp.zeros((B, k - 1, D), dt)}
                 for _ in range(cfg.num_encoder_layers[i])
             ])
+        F2 = Conv2dSubsampling.freq_dim(cfg.feature_dim)
         return {
-            "embed_cache": jnp.zeros(
-                (batch_size, Conv2dSubsampling.RAW_CONTEXT,
-                 cfg.feature_dim), jnp.float32),
+            "embed": {
+                "raw_tail": jnp.zeros(
+                    (B, Conv2dSubsampling.RAW_TAIL, cfg.feature_dim),
+                    jnp.float32),
+                "sub": jnp.zeros((B, ConvNeXtBlock.CONTEXT, F2,
+                                  Conv2dSubsampling.MID_CHANNELS), dt),
+            },
             "stacks": stack_caches,
             "processed": jnp.zeros((), jnp.int32),
             "chunk_size": chunk_size,
         }
 
-    def streaming_step(self, feats_chunk, state):
-        """feats_chunk (B, 2·chunk_size, F): exactly 2·chunk raw fbank
-        frames per step (the frontend halves the rate, so the sub-rate
-        stream advances by exactly `chunk` frames per step — no drift).
-        Returns (out (B, chunk // output_downsampling_factor, full_dim),
-        new_state).
-
-        The frontend's receptive field spans RAW_CONTEXT past frames, kept
-        in `embed_cache` (zero-initialized: the first chunk's leading
-        frames see zero left context — see module docstring).
-        """
+    def _stream_tail(self, x, state):
+        """Shared post-frontend streaming path: stacks + output
+        downsample."""
         cfg = self.config
-        # recombination reduces to the last stack's output when it is the
-        # widest (true for all shipped configs); asserted at state init
-        assert cfg.encoder_dim[-1] == max(cfg.encoder_dim), \
-            "streaming_step requires the last stack to be the widest"
-        B = feats_chunk.shape[0]
         chunk = state["chunk_size"]
-        assert feats_chunk.shape[1] == 2 * chunk, \
-            f"need {2*chunk} raw frames/step, got {feats_chunk.shape[1]}"
-        raw = jnp.concatenate([state["embed_cache"], feats_chunk], axis=1)
-        lens = jnp.full((B,), raw.shape[1], jnp.int32)
-        x, _ = self.embed(raw, lens)
-        # keep exactly `chunk` frames ending at the newest mature frame
-        x = x[:, -chunk:]
-        new_embed_cache = raw[:, -Conv2dSubsampling.RAW_CONTEXT:]
-
         processed = state["processed"]
         new_stack_caches = []
         for i, stack in enumerate(self.stacks):
@@ -825,10 +1035,38 @@ class Zipformer2(nn.Module):
             x, nc = stack.streaming_step(x, state["stacks"][i], valid)
             new_stack_caches.append(nc)
         out = self.out_down(x)
-        new_state = {
-            "embed_cache": new_embed_cache,
-            "stacks": new_stack_caches,
-            "processed": processed + 1,
-            "chunk_size": chunk,
-        }
-        return out.astype(jnp.float32), new_state
+        return out.astype(jnp.float32), new_stack_caches
+
+    def streaming_prime(self, feats_chunk, state):
+        """First chunk: (B, 2·chunk_size + PRIME_EXTRA_RAW, F) raw fbank
+        frames → (B, chunk // output_downsampling_factor, full_dim). The
+        extra raw frames fill the stride-2 conv stack's receptive field so
+        the sub-frame stream starts exactly at s₀."""
+        cfg = self.config
+        assert cfg.encoder_dim[-1] == max(cfg.encoder_dim), \
+            "streaming requires the last stack to be the widest"
+        chunk = state["chunk_size"]
+        assert feats_chunk.shape[1] == 2 * chunk + self.PRIME_EXTRA_RAW
+        x, embed_cache = self.embed.stream_prime(feats_chunk,
+                                                 state["embed"])
+        out, stack_caches = self._stream_tail(x, state)
+        return out, {"embed": embed_cache, "stacks": stack_caches,
+                     "processed": state["processed"] + 1,
+                     "chunk_size": chunk}
+
+    def streaming_step(self, feats_chunk, state):
+        """Steady state: feats_chunk (B, 2·chunk_size, F) — the frontend
+        halves the rate, so the sub-rate stream advances by exactly
+        `chunk` frames per step (no drift). Returns
+        (out (B, chunk // output_downsampling_factor, full_dim), state)."""
+        cfg = self.config
+        assert cfg.encoder_dim[-1] == max(cfg.encoder_dim), \
+            "streaming requires the last stack to be the widest"
+        chunk = state["chunk_size"]
+        assert feats_chunk.shape[1] == 2 * chunk, \
+            f"need {2*chunk} raw frames/step, got {feats_chunk.shape[1]}"
+        x, embed_cache = self.embed.stream_step(feats_chunk, state["embed"])
+        out, stack_caches = self._stream_tail(x, state)
+        return out, {"embed": embed_cache, "stacks": stack_caches,
+                     "processed": state["processed"] + 1,
+                     "chunk_size": chunk}

@@ -35,13 +35,13 @@ class RnntModel(nn.Module):
 
     def __call__(self, feats, feat_lens, labels, label_lens,
                  deterministic: bool = True, chunk_size=None,
-                 left_context_chunks=None):
+                 left_context_chunks=None, step=None):
         from ..models.zipformer import Zipformer2
         if isinstance(self.encoder, Zipformer2):
             enc, enc_lens = self.encoder(
                 feats, feat_lens, deterministic,
                 chunk_size=chunk_size,
-                left_context_chunks=left_context_chunks)
+                left_context_chunks=left_context_chunks, step=step)
         else:
             enc, enc_lens = self.encoder(feats, feat_lens, deterministic)
         dec, dec_lens = self.decoder(enc, enc_lens, deterministic)
@@ -150,7 +150,7 @@ class BaseRnntTask(AsrTaskBase):
                                 jnp.maximum(lf // jnp.maximum(cs, 1), 1), -1)
         return cs, left_chunks
 
-    def _forward(self, params, batch, rng=None, training=False):
+    def _forward(self, params, batch, rng=None, training=False, step=None):
         if training:
             k_aug, k_drop, k_chunk = jax.random.split(rng, 3)
             feats, feat_lens = self.featurize(batch, k_aug, training=True)
@@ -158,7 +158,7 @@ class BaseRnntTask(AsrTaskBase):
             return self.model.apply(
                 {"params": params}, feats, feat_lens, batch["label"],
                 batch["label_length"], deterministic=False,
-                chunk_size=cs, left_context_chunks=lc,
+                chunk_size=cs, left_context_chunks=lc, step=step,
                 rngs={"dropout": k_drop})
         feats, feat_lens = self.featurize(batch, None, training=False)
         return self.model.apply({"params": params}, feats, feat_lens,
@@ -209,7 +209,7 @@ class RnntTask(BaseRnntTask):
 
     def loss_fn(self, params, batch, rng, step
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        out = self._forward(params, batch, rng, training=True)
+        out = self._forward(params, batch, rng, training=True, step=step)
         loss = self.loss({"logits": out["logits"],
                           "logits_length": out["enc_lens"],
                           "label": batch["label"],
@@ -233,7 +233,7 @@ class CtcHybridRnntTask(BaseRnntTask):
                               "config": loss_cfg.get("ctc_config", {})})
 
     def loss_fn(self, params, batch, rng, step):
-        out = self._forward(params, batch, rng, training=True)
+        out = self._forward(params, batch, rng, training=True, step=step)
         rnnt = self.rnnt_loss({"logits": out["logits"],
                                "logits_length": out["enc_lens"],
                                "label": batch["label"],
@@ -266,7 +266,7 @@ class PrunedRnntTask(BaseRnntTask):
                                   "config": loss_cfg.get("ctc_config", {})})
 
     def loss_fn(self, params, batch, rng, step):
-        out = self._forward(params, batch, rng, training=True)
+        out = self._forward(params, batch, rng, training=True, step=step)
         simple = out["simple_loss"]
         pruned = self.pruned_loss({"logits": out["logits"],
                                    "ranges": out["ranges"],

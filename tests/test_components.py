@@ -278,3 +278,44 @@ class TestCheckpointing:
         assert step == 7
         np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                       np.ones(2))
+
+
+class TestSeparateLr:
+    """Per-module LR groups (reference `seperate_lr`,
+    task_factory/rnnt_task.py:150-188)."""
+
+    def _config(self, apply):
+        return {
+            "seperate_lr": {"apply": apply,
+                            "config": {"encoder_lr": 1.0,
+                                       "joiner_lr": 0.0}},
+            "optimizer": {"type": "Adam", "config": {"lr": 0.1}},
+            "lr_scheduler": {"type": "Warmup",
+                             "config": {"warmup_steps": 1}},
+        }
+
+    def test_groups_get_their_own_lr(self):
+        from speech2text_tpu.optim.setup import OptimSetup
+        tx, _ = OptimSetup(self._config(True))
+        params = {"encoder": {"w": jnp.ones((4,))},
+                  "joiner": {"w": jnp.ones((4,))},
+                  "predictor": {"w": jnp.ones((4,))}}
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        # joiner_lr = 0 → frozen; encoder_lr = 1.0 ≫ default 0.1
+        assert float(jnp.abs(updates["joiner"]["w"]).sum()) == 0.0
+        enc = float(jnp.abs(updates["encoder"]["w"]).sum())
+        pred = float(jnp.abs(updates["predictor"]["w"]).sum())
+        assert enc > pred > 0.0
+
+    def test_disabled_is_uniform(self):
+        from speech2text_tpu.optim.setup import OptimSetup
+        tx, _ = OptimSetup(self._config(False))
+        params = {"encoder": {"w": jnp.ones((4,))},
+                  "joiner": {"w": jnp.ones((4,))}}
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_allclose(np.asarray(updates["encoder"]["w"]),
+                                   np.asarray(updates["joiner"]["w"]))

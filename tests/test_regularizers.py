@@ -47,12 +47,16 @@ def test_balancer_steers_negative_channels_up():
 
 
 def test_balancer_magnitude_pressure():
-    # tiny-magnitude activations get pushed to grow
-    x = jnp.full((32, 4), 1e-4)
-    g = jnp.zeros((32, 4))
+    # tiny-RMS activations get pushed to grow: below min_rms the shaping
+    # steers the gradient against sign(x), so SGD increases |x| (the extra
+    # gradient scales with |g|, as in the reference scaling.py:782)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((32, 4))
+                    * 1e-4, jnp.float32)
+    g = jnp.ones((32, 4))
     _, vjp = jax.vjp(lambda x_: balancer(x_, 0.0, 1.0, 0.2, 100.0, 0.1), x)
     (gx,) = vjp(g)
-    assert float(jnp.abs(gx).sum()) > 0.0  # nonzero shaping even with g=0
+    assert float((gx * jnp.sign(x)).mean()) < float(
+        (g * jnp.sign(x)).mean())
 
 
 def test_whiten_identity_and_gradient_gate():
@@ -96,18 +100,19 @@ def test_zipformer_with_shapers_trains():
         feedforward_dim=(32,), encoder_dim=(16,),
         encoder_unmasked_dim=(8,), num_heads=(2,), query_head_dim=4,
         value_head_dim=4, pos_head_dim=2, pos_dim=8,
-        cnn_module_kernel=(5,), dropout=0.0, use_balancer=True,
-        use_whiten=True)
+        cnn_module_kernel=(5,), dropout=0.0, dynamics=True)
     m = Zipformer2(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 41, 80))
     lens = jnp.asarray([41, 30])
     params = m.init({"params": jax.random.PRNGKey(1)}, x, lens)["params"]
 
-    def f(p):
+    def f(p, step):
         out, _ = m.apply({"params": p}, x, lens, deterministic=False,
+                         step=step,
                          rngs={"dropout": jax.random.PRNGKey(2)})
         return jnp.sum(out ** 2)
 
-    g = jax.grad(f)(params)
-    total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
-    assert np.isfinite(total) and total > 0
+    for step in (0, 30000):  # early (strong shaping) and late schedules
+        g = jax.grad(f)(params, jnp.asarray(step, jnp.float32))
+        total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0

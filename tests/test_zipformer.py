@@ -94,3 +94,46 @@ def test_gradients_flow(setup):
     total = sum(float(jnp.abs(v).sum())
                 for v in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_nonlin_attention_all_chunks_live():
+    """All three in_proj chunks (s, a, b) must affect the output — the
+    reference gates post-attention with the third chunk
+    (zipformer.py:2455-2478), not tanh(s)."""
+    from speech2text_tpu.models.zipformer import NonlinAttention
+
+    B, T, D, H = 2, 6, 16, 12
+    m = NonlinAttention(embed_dim=D, hidden=H)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    w = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (B, T, T)),
+                       axis=-1)
+    params = m.init(jax.random.PRNGKey(2), x, w)["params"]
+    base = m.apply({"params": params}, x, w)
+
+    kernel = np.asarray(params["in_proj"]["kernel"])  # (D, 3H)
+    for chunk in range(3):
+        k2 = kernel.copy()
+        k2[:, chunk * H:(chunk + 1) * H] *= -1.0  # perturb one chunk
+        p2 = jax.tree.map(lambda v: v, params)
+        p2["in_proj"]["kernel"] = jnp.asarray(k2)
+        out2 = m.apply({"params": p2}, x, w)
+        assert not np.allclose(np.asarray(base), np.asarray(out2),
+                               atol=1e-5), f"in_proj chunk {chunk} is dead"
+
+
+def test_nonlin_attention_step_matches_forward():
+    from speech2text_tpu.models.zipformer import NonlinAttention
+
+    B, T, D, H = 2, 8, 16, 12
+    m = NonlinAttention(embed_dim=D, hidden=H)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (B, T, T)), axis=-1)
+    params = m.init(jax.random.PRNGKey(2), x, w)["params"]
+    full = m.apply({"params": params}, x, w)
+    # step with zero left context over the whole sequence reproduces forward
+    cached = jnp.zeros((B, 0, H))
+    out_step, _ = m.apply({"params": params}, x, w, cached,
+                            method=NonlinAttention.step)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(out_step),
+                               atol=1e-5)

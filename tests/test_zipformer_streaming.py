@@ -2,10 +2,10 @@
 
 The core machinery — six per-layer caches (key, nonlin value, two
 attention values, two conv contexts) — must reproduce the chunk-masked
-full forward EXACTLY at the stack level (same math, windowed). The
-end-to-end encoder streaming additionally crosses the (non-causal
-ConvNeXt) frontend, so it gets a shape/finiteness/continuity check only
-(boundary effects documented in models/zipformer.py)."""
+full forward EXACTLY at the stack level (same math, windowed). With the
+causal ConvNeXt frontend (round 2), the FULL encoder chain is exact too:
+`streaming_prime` + `streaming_step` reproduce the chunk-masked full
+forward from frame 0."""
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,10 @@ class TestStackStreamingExact:
 
 class TestEncoderStreaming:
 
-    def test_streaming_step_runs_and_is_continuous(self):
+    def test_full_chain_streaming_exact(self):
+        """streaming_prime + streaming_step ≡ chunk-masked full forward
+        (VERDICT round-1 item 4: exactness from frame 0, causal
+        ConvNeXt frontend)."""
         cfg = Zipformer2Config(
             feature_dim=80, downsampling_factor=(1, 2),
             num_encoder_layers=(1, 1), feedforward_dim=(32, 32),
@@ -68,27 +71,36 @@ class TestEncoderStreaming:
             pos_head_dim=2, pos_dim=8, cnn_module_kernel=(5, 5),
             causal=True, dropout=0.0)
         m = Zipformer2(cfg)
-        CHUNK = 8
-        N_CHUNKS = 4
-        T_raw = 2 * CHUNK * N_CHUNKS + 40
-        feats = jax.random.normal(jax.random.PRNGKey(0), (1, T_raw, 80))
+        CHUNK, LEFT_CHUNKS, N_CHUNKS = 8, 2, 4
+        T_raw = 2 * CHUNK * N_CHUNKS + Zipformer2.PRIME_EXTRA_RAW
+        feats = jax.random.normal(jax.random.PRNGKey(0), (2, T_raw, 80))
+        lens = jnp.asarray([T_raw, T_raw])
         params = m.init({"params": jax.random.PRNGKey(1)}, feats,
-                        jnp.asarray([T_raw]))["params"]
+                        lens)["params"]
+        full, full_lens = m.apply(
+            {"params": params}, feats, lens,
+            chunk_size=jnp.asarray(CHUNK, jnp.int32),
+            left_context_chunks=jnp.asarray(LEFT_CHUNKS, jnp.int32))
+        assert int(full_lens[0]) == CHUNK * N_CHUNKS // 2
 
-        state = m.init_streaming_state(1, chunk_size=CHUNK,
-                                       left_context_chunks=2)
-        outs = []
-        for k in range(N_CHUNKS):
-            chunk = feats[:, k * 2 * CHUNK:(k + 1) * 2 * CHUNK]
+        state = m.init_streaming_state(2, chunk_size=CHUNK,
+                                       left_context_chunks=LEFT_CHUNKS)
+        prime_raw = 2 * CHUNK + Zipformer2.PRIME_EXTRA_RAW
+        out, state = m.apply({"params": params}, feats[:, :prime_raw],
+                             state, method=Zipformer2.streaming_prime)
+        outs = [np.asarray(out)]
+        for k in range(1, N_CHUNKS):
+            lo = prime_raw + (k - 1) * 2 * CHUNK
+            chunk = feats[:, lo:lo + 2 * CHUNK]
             out, state = m.apply({"params": params}, chunk, state,
                                  method=Zipformer2.streaming_step)
             outs.append(np.asarray(out))
         streamed = np.concatenate(outs, axis=1)
-        assert streamed.shape == (1, CHUNK // 2 * N_CHUNKS, 16)
-        assert np.isfinite(streamed).all()
+        assert streamed.shape == (2, CHUNK // 2 * N_CHUNKS, 16)
         assert int(state["processed"]) == N_CHUNKS
-        # chunks are not identical (real information flows across steps)
-        assert not np.allclose(outs[1], outs[2])
+        np.testing.assert_allclose(
+            streamed, np.asarray(full)[:, :streamed.shape[1]],
+            rtol=1e-4, atol=1e-5)
 
     def test_chunk_divisibility_asserted(self):
         cfg = Zipformer2Config(downsampling_factor=(1, 8),
