@@ -46,10 +46,8 @@ TARGET = 3.0 * A100_UTTS_PER_SEC_ESTIMATE
 
 _T0 = time.time()
 _REPO = os.path.dirname(os.path.abspath(__file__))
-
-# must be set before jax initializes its backends
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_REPO, ".jax_cache"))
+_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        os.path.join(_REPO, ".jax_cache"))
 
 
 def log(msg: str) -> None:
@@ -63,6 +61,10 @@ def main():
     import optax
     from jax import lax
 
+    # NOTE: the JAX_COMPILATION_CACHE_DIR env var is silently ignored by
+    # this jax install; only the explicit config.update works (verified:
+    # config.compilation_cache_dir stays None under the env var).
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from __graft_entry__ import _build_model, _flagship_config
@@ -70,8 +72,7 @@ def main():
     from speech2text_tpu.losses import Loss
     from speech2text_tpu.optim import scaled_adam
 
-    log(f"jax {jax.__version__}, devices={jax.devices()}, "
-        f"cache={os.environ['JAX_COMPILATION_CACHE_DIR']}")
+    log(f"jax {jax.__version__}, devices={jax.devices()}, cache={_CACHE}")
 
     vocab = 128
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -91,11 +92,19 @@ def main():
     labels = jnp.asarray(rng.integers(1, vocab, (B, U)), jnp.int32)
     lab_lens = jnp.full((B,), U, jnp.int32)
 
-    log("featurize + param init...")
-    feats, feat_lens = fbank(pcm, pcm_lens)
-    params = model.init({"params": jax.random.PRNGKey(0)}, feats, feat_lens,
-                        labels, lab_lens)["params"]
-    opt_state = tx.init(params)
+    log("featurize + param init (one jitted program — eager init is "
+        "hundreds of per-op tunnel round-trips on axon; the standalone "
+        "pallas-fbank jit has an unstable cache key, so it lives inside "
+        "this program too)...")
+
+    @jax.jit
+    def init_all(key):
+        feats, feat_lens = fbank(pcm, pcm_lens)
+        p = model.init({"params": key}, feats, feat_lens,
+                       labels, lab_lens)["params"]
+        return p, tx.init(p), feat_lens
+
+    params, opt_state, feat_lens = init_all(jax.random.PRNGKey(0))
     log("params initialized")
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))

@@ -105,6 +105,19 @@ def run_inference(argv):
         params = mgr.restore(int(step))["params"]
     log.info("checkpoint loaded from %s", ckpt_dir)
 
+    # ---- optional deployment export before testing (reference
+    # rnnt_task.py:753-809: on_test_start ONNX export + dynamic int8 quant;
+    # here StableHLO modules + int8 weights-only artifact)
+    if task_section.get("module_export"):
+        from speech2text_tpu.export import export_asr_modules, save_quantized
+        exp_cfg = infer_cfg.get("module_export_config", {}) or {}
+        export_asr_modules(task, params, workdir,
+                           max_frames=int(exp_cfg.get("max_frames", 2000)),
+                           max_label=int(exp_cfg.get("max_label", 128)))
+        task.tokenizer.export_units(os.path.join(workdir, "units.txt"))
+        if exp_cfg.get("export_int8", True):
+            save_quantized(params, os.path.join(workdir, "weights.int8.npz"))
+
     # ---- test loop with per-utterance report
     pipe = task.make_test_pipeline()
     eval_fwd = jax.jit(task.eval_forward)

@@ -104,9 +104,16 @@ class BucketBatcher:
             0, len(self._specs) - 1))
 
     def epoch_batches(self, epoch: int) -> List[tuple]:
+        """Multihost-lockstep schedule: every shard computes the SAME
+        global batch sequence from the shared seed, then takes its slice
+        of each batch's entries. This guarantees (a) identical batch
+        counts per epoch on every host — no SPMD deadlock at epoch
+        boundaries — and (b) identical (bucket ⇒ T,U) shapes per step
+        across hosts, which XLA's multi-process SPMD requires. (Entry-
+        level round-robin sharding, as DistributedSampler does for the
+        reference, satisfies neither.)"""
         rng = np.random.default_rng(self._seed + epoch * 1_000_003)
         order = rng.permutation(len(self._durations))
-        order = order[self._shard::self._num_shards]
         buckets: Dict[int, List[int]] = {i: [] for i in range(len(self._specs))}
         batches = []
         for idx in order:
@@ -122,6 +129,13 @@ class BucketBatcher:
             topup = rng.choice(rest, size=need).tolist() if need else []
             batches.append((b, rest + topup))
         rng.shuffle(batches)
+        if self._num_shards > 1:
+            sharded = []
+            for b, idxs in batches:
+                m = len(idxs) // self._num_shards * self._num_shards
+                if m:
+                    sharded.append((b, idxs[self._shard:m:self._num_shards]))
+            batches = sharded
         return batches
 
     def __iter__(self) -> Iterator[tuple]:

@@ -132,11 +132,13 @@ def frame_signal(cfg: FbankConfig, pcm: jnp.ndarray, max_frames: int) -> jnp.nda
     flen, shift = cfg.frame_length, cfg.frame_shift
     if cfg.snip_edges:
         n_hops_needed = -(-flen // shift)  # hops covering one frame
-        if N % shift == 0 and n_hops_needed <= 3 and flen <= 3 * shift:
+        n_fast = N // shift - (n_hops_needed - 1)  # = true frame count
+        if N % shift == 0 and n_hops_needed <= 3 and n_fast >= 1:
             T_hops = N // shift
             h = pcm.reshape(B, T_hops, shift)
             frames = jnp.concatenate(
-                [h[:, :-2], h[:, 1:-1], h[:, 2:]], axis=-1)[:, :, :flen]
+                [h[:, i:i + n_fast] for i in range(n_hops_needed)],
+                axis=-1)[:, :, :flen]
             if frames.shape[1] >= max_frames:
                 return frames[:, :max_frames]
             pad = max_frames - frames.shape[1]

@@ -101,3 +101,71 @@ def export_asr_modules(task, params, export_dir: str,
     _serialize(join_fn, (params, enc_frame, pred_out), path)
     out["joiner"] = path
     return out
+
+
+# ---------------------------------------------------------------- int8 quant
+def quantize_params(params, min_size: int = 1024):
+    """Symmetric per-output-channel int8 weights-only quantization.
+
+    Deployment parity with the reference's dynamic-int8 ONNX export
+    (reference task_factory/rnnt_task.py:753-809, onnxruntime
+    quantize_dynamic: int8 weights, runtime-quantized activations). The
+    TPU-era equivalent keeps the exported StableHLO graphs (which take
+    params as arguments) and ships an int8 weights artifact that is
+    dequantized on load — matmuls then run in bf16/fp32 on the MXU, which
+    is the fast path on TPU (int8 weight storage is a bandwidth/disk
+    optimization, as in the reference).
+
+    Leaves smaller than `min_size` elements (biases, norm scales) stay
+    fp32 — same policy as onnxruntime's MatMul-only dynamic quant.
+    Returns a flat dict {path: array} with `<path>` int8 payloads,
+    `<path>.scale` per-channel scales, and `<path>.fp32` passthroughs.
+    """
+    flat = {}
+
+    def walk(tree, prefix):
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(v, p)
+                continue
+            arr = np.asarray(v)
+            if (arr.dtype not in (np.float32, np.float16)
+                    or arr.ndim < 2 or arr.size < min_size):
+                flat[p + ".fp32"] = arr
+                continue
+            # per-output-channel (last axis) symmetric scale
+            red = tuple(range(arr.ndim - 1))
+            scale = np.maximum(np.abs(arr).max(axis=red), 1e-12) / 127.0
+            q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+            flat[p] = q
+            flat[p + ".scale"] = scale.astype(np.float32)
+
+    walk(params, "")
+    return flat
+
+
+def save_quantized(params, path: str, min_size: int = 1024) -> str:
+    np.savez_compressed(path, **quantize_params(params, min_size))
+    log.info("int8 checkpoint written: %s (%d bytes)", path,
+             os.path.getsize(path))
+    return path
+
+
+def load_quantized(path: str):
+    """Dequantize an int8 artifact back into a nested fp32 param tree."""
+    flat = dict(np.load(path))
+    tree: Dict = {}
+    for key, arr in flat.items():
+        if key.endswith(".scale"):
+            continue
+        if key.endswith(".fp32"):
+            p, val = key[:-5], arr
+        else:
+            p, val = key, arr.astype(np.float32) * flat[key + ".scale"]
+        node = tree
+        parts = p.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return tree

@@ -110,6 +110,40 @@ class AsrTaskBase:
     def vocab_size(self) -> int:
         return len(self.tokenizer)
 
+    def merge_pretrained_encoder(self, params):
+        """If the encoder config names a converted pretrained checkpoint
+        (e.g. a wav2vec2 msgpack from tools/convert_wav2vec2.py), merge it
+        over the random init — the reference constructs its encoder from HF
+        pretrained weights directly (model/encoder/wav2vec2.py:25-43)."""
+        path = (self.config.get("encoder", {}).get("config", {})
+                or {}).get("pretrained_path")
+        if not path:
+            return params
+        from flax import serialization
+        with open(path, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        tree.pop("__layout__", None)
+        enc = dict(params["encoder"])
+
+        def merge(dst, src, where):
+            for k, v in src.items():
+                if k not in dst:
+                    raise KeyError(f"pretrained key {where}/{k} not in "
+                                   f"model params (layout mismatch?)")
+                if isinstance(v, dict):
+                    dst[k] = merge(dict(dst[k]), v, f"{where}/{k}")
+                else:
+                    if tuple(dst[k].shape) != tuple(v.shape):
+                        raise ValueError(
+                            f"shape mismatch at {where}/{k}: model "
+                            f"{dst[k].shape} vs checkpoint {v.shape}")
+                    dst[k] = jnp.asarray(v, dst[k].dtype)
+            return dst
+
+        params = dict(params)
+        params["encoder"] = merge(enc, tree, "encoder")
+        return params
+
     def example_batch(self) -> Dict[str, jnp.ndarray]:
         """Tiny fixed-shape batch for parameter init."""
         import numpy as np

@@ -59,8 +59,9 @@ class CifTask(AsrTaskBase):
     def init(self, rng: jax.Array):
         batch = self.example_batch()
         feats, lens = self.featurize(batch, None, training=False)
-        return self.model.init({"params": rng}, feats, lens,
-                               batch["label_length"])["params"]
+        params = self.model.init({"params": rng}, feats, lens,
+                                 batch["label_length"])["params"]
+        return self.merge_pretrained_encoder(params)
 
     def loss_fn(self, params, batch, rng, step
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:

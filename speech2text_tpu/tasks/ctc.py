@@ -62,7 +62,8 @@ class CtcTask(AsrTaskBase):
     def init(self, rng: jax.Array):
         batch = self.example_batch()
         feats, lens = self.featurize(batch, None, training=False)
-        return self.model.init({"params": rng}, feats, lens)["params"]
+        params = self.model.init({"params": rng}, feats, lens)["params"]
+        return self.merge_pretrained_encoder(params)
 
     # ------------------------------------------------------------- training
     def loss_fn(self, params, batch, rng, step

@@ -128,8 +128,10 @@ class BaseRnntTask(AsrTaskBase):
     def init(self, rng: jax.Array):
         batch = self.example_batch()
         feats, lens = self.featurize(batch, None, training=False)
-        return self.model.init({"params": rng}, feats, lens, batch["label"],
-                               batch["label_length"])["params"]
+        params = self.model.init({"params": rng}, feats, lens,
+                                 batch["label"],
+                                 batch["label_length"])["params"]
+        return self.merge_pretrained_encoder(params)
 
     def _sample_chunk(self, k_chunk):
         """Random chunked-causal training (reference zipformer.py:290-317):

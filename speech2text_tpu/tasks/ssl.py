@@ -68,7 +68,8 @@ class SslTask(AsrTaskBase):
     def init(self, rng: jax.Array):
         batch = self.example_batch()
         feats, lens = self.featurize(batch, None, training=False)
-        return self.model.init({"params": rng}, feats, lens)["params"]
+        params = self.model.init({"params": rng}, feats, lens)["params"]
+        return self.merge_pretrained_encoder(params)
 
     def loss_fn(self, params, batch, rng, step
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:

@@ -70,6 +70,10 @@ class Trainer:
             mode=ck.get("mode", "min"))
         self._metrics_file = open(os.path.join(workdir, "metrics.jsonl"),
                                   "a")
+        # TensorBoard scalar events beside metrics.jsonl (reference
+        # build_task.py:62-64 + PL TensorBoardLogger)
+        from .tb_writer import TensorBoardWriter
+        self._tb = TensorBoardWriter(os.path.join(workdir, "tb"))
 
     # ------------------------------------------------------------------ fit
     def fit(self, resume: Optional[str] = None,
@@ -192,6 +196,10 @@ class Trainer:
                                       for k, v in rec.items()))
                     self._metrics_file.write(json.dumps(rec) + "\n")
                     self._metrics_file.flush()
+                    for k, v in rec.items():
+                        if k != "step" and isinstance(v, float):
+                            self._tb.add_scalar(f"train/{k}", v, step)
+                    self._tb.flush()
                     t_last, utts = time.time(), 0
                 if step % val_every == 0 or step == max_steps:
                     last_eval = self.evaluate(params)

@@ -1,0 +1,146 @@
+"""Multi-host readiness: the data pipeline's shard contract and
+per-process batching on the virtual device mesh.
+
+The reference relies on torch DistributedSampler round-robin entry
+sharding (reference task_factory/rnnt_task.py:87-91), which does not
+guarantee equal batch counts or equal shapes across ranks for bucketed
+batches. The TPU rebuild's BucketBatcher instead computes one global
+schedule per epoch from the shared seed and hands each host a slice of
+every batch — these tests pin that contract down.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech2text_tpu.data.batcher import BucketBatcher, build_bucket_specs
+
+N_SHARDS = 2
+
+
+def _make(durations, shard, num_shards, seed=11):
+    specs = build_bucket_specs(
+        durations, [8] * len(durations), num_buckets=3,
+        volume_threshold=40.0, min_batch_size=2, max_batch_size=8,
+        sample_rate=16000, speed_perturb_slack=1.0,
+        batch_multiple=N_SHARDS)  # same global specs for all batchers
+    return BucketBatcher(durations, specs, seed=seed, shard_index=shard,
+                         num_shards=num_shards)
+
+
+def test_shards_lockstep_and_disjoint():
+    rng = np.random.default_rng(0)
+    durations = rng.uniform(1.0, 12.0, 101).tolist()
+    global_b = _make(durations, 0, 1)
+    shards = [_make(durations, s, N_SHARDS) for s in range(N_SHARDS)]
+
+    for epoch in (0, 1, 5):
+        gb = global_b.epoch_batches(epoch)
+        per = [s.epoch_batches(epoch) for s in shards]
+        # (a) identical batch counts on every shard — SPMD lockstep
+        assert len(per[0]) == len(per[1])
+        # (b) identical bucket (⇒ shape) sequence across shards
+        assert [b for b, _ in per[0]] == [b for b, _ in per[1]]
+        # (c) same global schedule as the unsharded batcher, and each
+        # step's shard slices are disjoint with union = (trimmed) batch
+        gi = 0
+        for k in range(len(per[0])):
+            got = [per[s][k] for s in range(N_SHARDS)]
+            while len(gb[gi][1]) < N_SHARDS:  # batches too small are skipped
+                gi += 1
+            b_glob, idx_glob = gb[gi]
+            gi += 1
+            m = len(idx_glob) // N_SHARDS * N_SHARDS
+            assert all(b == b_glob for b, _ in got)
+            # shards partition the (trimmed) global batch as a multiset;
+            # cross-shard repeats can only come from top-up duplicates
+            assert sorted(sum((i for _, i in got), [])) == sorted(
+                idx_glob[:m])
+            ishards = [set(i) for _, i in got]
+            dups = {i for i in idx_glob if idx_glob.count(i) > 1}
+            assert (ishards[0] & ishards[1]) <= dups
+        # (d) full-epoch coverage: every entry that appears globally is
+        # seen by some shard; overlap only where the global schedule
+        # itself repeats an entry (partial-bucket top-up)
+        seen = [set(sum((i for _, i in p), [])) for p in per]
+        covered = set(sum((i[:len(i) // N_SHARDS * N_SHARDS]
+                           for _, i in gb), []))
+        from collections import Counter
+        gcount = Counter(sum((i for _, i in gb), []))
+        gdups = {i for i, c in gcount.items() if c > 1}
+        assert (seen[0] | seen[1]) == covered
+        assert (seen[0] & seen[1]) <= gdups
+
+
+def test_equal_local_batch_sizes():
+    rng = np.random.default_rng(1)
+    durations = rng.uniform(1.0, 10.0, 64).tolist()
+    shards = [_make(durations, s, N_SHARDS) for s in range(N_SHARDS)]
+    for epoch in range(3):
+        per = [s.epoch_batches(epoch) for s in shards]
+        for (b0, i0), (b1, i1) in zip(*per):
+            assert len(i0) == len(i1) > 0
+
+
+def test_per_process_batching_on_virtual_mesh():
+    """jax.distributed-style per-process feeding, emulated on the 8-device
+    virtual CPU mesh: each 'process' contributes its local shard batch;
+    the assembled global array under a ('data',) sharding must equal the
+    logical concatenation, and a jitted global reduction must run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = np.array(jax.devices()[:N_SHARDS])
+    mesh = Mesh(devs, ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    rng = np.random.default_rng(2)
+    durations = rng.uniform(1.0, 10.0, 64).tolist()
+    shards = [_make(durations, s, N_SHARDS) for s in range(N_SHARDS)]
+    per = [s.epoch_batches(0)[0] for s in shards]
+    # local 'feature' arrays, one per emulated process
+    locals_ = [np.asarray([durations[i] for i in idxs], np.float32)
+               for _, idxs in per]
+    n_local = len(locals_[0])
+    glob = jax.make_array_from_single_device_arrays(
+        (N_SHARDS * n_local,), sharding,
+        [jax.device_put(x, d) for x, d in zip(locals_, devs)])
+    jsum = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))
+    got = float(jsum(glob))
+    want = float(np.concatenate(locals_).sum())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pipeline_shard_parity_on_fixture():
+    """AsrPipeline with n_shards=2 over the LibriSpeech fixture: equal
+    batch counts, equal shapes, disjoint utterances (VERDICT r1 item 9)."""
+    import os
+    manifest = "/root/reference/sample_data/asr_eval_data.json"
+    if not os.path.exists(manifest):
+        import pytest
+        pytest.skip("reference fixture not available")
+    from speech2text_tpu.data.dataset import AsrPipeline, DataConfig
+    from speech2text_tpu.data.tokenizer import TokenizerSetup
+    tok = TokenizerSetup({"type": "char", "config": {}})
+    cfg = DataConfig(train_data=manifest, eval_data=manifest,
+                     base_dir="/root/reference", batch_size=4,
+                     use_bucket_sampler=False)
+    pipes = [AsrPipeline(manifest, tok, cfg, training=False,
+                         keep_text=True, shard_index=s, num_shards=2)
+             for s in range(2)]
+    batches = [list(p) for p in pipes]
+    assert len(batches[0]) == len(batches[1]) > 0
+    seen = [set(), set()]
+    for b0, b1 in zip(*batches):
+        assert b0["pcm"].shape == b1["pcm"].shape
+        assert b0["label"].shape == b1["label"].shape
+        seen[0].update(b0["audio_filepath"])
+        seen[1].update(b1["audio_filepath"])
+    # full coverage; overlap only from partial-bucket top-up duplicates
+    from collections import Counter
+    glob = AsrPipeline(manifest, tok, cfg, training=False, keep_text=True)
+    gcount = Counter()
+    for _, idxs in glob.batcher.epoch_batches(0):
+        gcount.update(glob.entries[i]["audio_filepath"] for i in idxs)
+    all_files = {e["audio_filepath"] for e in glob.entries}
+    assert (seen[0] | seen[1]) == all_files
+    gdups = {f for f, c in gcount.items() if c > 1}
+    assert (seen[0] & seen[1]) <= gdups
