@@ -2,16 +2,21 @@
 
 Capability parity with reference model/encoder/emformer.py:42-167 (which
 wraps torchaudio.models.Emformer): segment-based processing with left
-context, right-context lookahead, `init_state`/`streaming_step` chunked
-inference, and a `streaming_forward` that reproduces streaming outputs on
-full utterances.
+context, right-context lookahead, a bounded **memory bank** of past-segment
+summaries (`max_memory_size`, reference emformer.py:36,70 — the shipped
+reference config uses 0, but the capability exists), `init_state`/
+`streaming_step` chunked inference, and a `streaming_forward` that
+reproduces streaming outputs on full utterances.
 
 TPU design: training runs the full utterance under a segment-structured
 attention mask (each frame attends to its own segment ± configured
-left/right context) — one fixed-shape masked attention per layer, no
-per-segment Python loop (the reference loops chunks per batch entry,
-:130-167). Streaming inference carries per-layer caches of the last
-`left_context_length` activations.
+left/right context, plus the mean-pooled summaries of up to
+`max_memory_size` preceding segments) — one fixed-shape masked attention
+per layer, no per-segment Python loop (the reference loops chunks per
+batch entry, :130-167). Streaming inference carries, per layer, the last
+`left_context_length` activations and a rolling memory bank; a shared
+step counter masks not-yet-filled cache/bank slots so early segments see
+exactly what the training mask allows.
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ class EmformerConfig:
     segment_length: int = 16        # frames at the subsampled rate
     left_context_length: int = 32
     right_context_length: int = 4
+    max_memory_size: int = 0        # past-segment summaries in K/V (0 = off)
     output_dim: int = 256
     dropout: float = 0.1
     dtype: str = "float32"
@@ -53,6 +59,30 @@ def emformer_attention_mask(T: int, segment: int, left: int,
     seg_start = (i // segment) * segment
     seg_end = seg_start + segment - 1
     return (j >= seg_start - left) & (j <= seg_end + right)
+
+
+def emformer_memory_mask(T: int, segment: int,
+                         max_memory: int) -> jnp.ndarray:
+    """(T, S) bool over segment-summary slots: query i sees summary of
+    segment s iff seg(i) − max_memory ≤ s ≤ seg(i) − 1."""
+    S = -(-T // segment)
+    i = lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    s = lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    seg = i // segment
+    return (s >= seg - max_memory) & (s <= seg - 1)
+
+
+def segment_summaries(h: jnp.ndarray, pad_mask: jnp.ndarray,
+                      segment: int) -> jnp.ndarray:
+    """(B, T, D) → (B, S, D) masked mean over each segment's valid frames."""
+    B, T, D = h.shape
+    S = -(-T // segment)
+    pad_t = S * segment - T
+    hp = jnp.pad(h, ((0, 0), (0, pad_t), (0, 0)))
+    mp = jnp.pad(pad_mask.astype(h.dtype), ((0, 0), (0, pad_t)))
+    hp = hp.reshape(B, S, segment, D) * mp.reshape(B, S, segment, 1)
+    n = jnp.maximum(mp.reshape(B, S, segment).sum(-1, keepdims=True), 1.0)
+    return hp.sum(axis=2) / n
 
 
 class EmformerLayer(nn.Module):
@@ -91,17 +121,43 @@ class EmformerLayer(nn.Module):
         x = x_q + self.attn_out(out)
         return x + self.ffn(self.ln_ffn(x), deterministic)
 
-    def __call__(self, x, attn_mask, pad_mask, deterministic=True):
+    def __call__(self, x, attn_mask, pad_mask, deterministic=True,
+                 memory=None, mem_mask=None):
         mask = attn_mask[None, None] & pad_mask[:, None, None, :]
-        return self._attend(x, x, mask, deterministic)
+        if memory is None:
+            return self._attend(x, x, mask, deterministic)
+        kv = jnp.concatenate([memory, x], axis=1)
+        full = jnp.concatenate(
+            [jnp.broadcast_to(mem_mask[None, None],
+                              (x.shape[0], 1) + mem_mask.shape), mask],
+            axis=-1)
+        return self._attend(x, kv, full, deterministic)
 
-    def step(self, x_chunk, cache, deterministic=True):
+    def step(self, x_chunk, cache, deterministic=True, cache_mask=None,
+             bank=None, bank_mask=None):
         """x_chunk (B, C, D) current chunk; cache (B, L, D) previous
-        activations (same layer input stream). Returns (out, new_cache)."""
+        activations (same layer input stream); optional rolling memory
+        bank (B, M, D). Masks flag the not-yet-filled slots invalid so a
+        fresh stream reproduces the training mask exactly."""
+        B, C, D = x_chunk.shape
         L = cache.shape[1]
-        ctx = jnp.concatenate([cache, x_chunk], axis=1)      # (B, L+C, D)
-        out = self._attend(x_chunk, ctx, None, deterministic)
-        new_cache = ctx[:, -L:]
+        parts, mparts = [cache, x_chunk], []
+        ones_c = jnp.ones((B, 1, C, C), bool)
+        if cache_mask is None:
+            mparts.append(jnp.ones((B, 1, C, L), bool))
+        else:
+            mparts.append(jnp.broadcast_to(
+                cache_mask[:, None, None, :], (B, 1, C, L)))
+        mparts.append(ones_c)
+        if bank is not None:
+            parts.insert(0, bank)
+            M = bank.shape[1]
+            mparts.insert(0, jnp.broadcast_to(
+                bank_mask[:, None, None, :], (B, 1, C, M)))
+        ctx = jnp.concatenate(parts, axis=1)
+        mask = jnp.concatenate(mparts, axis=-1)
+        out = self._attend(x_chunk, ctx, mask, deterministic)
+        new_cache = jnp.concatenate([cache, x_chunk], axis=1)[:, -L:]
         return out, new_cache
 
 
@@ -129,19 +185,36 @@ class Emformer(nn.Module):
                                         cfg.left_context_length,
                                         cfg.right_context_length)
         pad_mask = make_non_pad_mask(out_lens, T)
+        mmask = (emformer_memory_mask(T, cfg.segment_length,
+                                      cfg.max_memory_size)
+                 if cfg.max_memory_size > 0 else None)
         for layer in self.layers:
-            h = layer(h, amask, pad_mask, deterministic)
+            if mmask is not None:
+                mem = segment_summaries(h, pad_mask, cfg.segment_length)
+                h = layer(h, amask, pad_mask, deterministic,
+                          memory=mem, mem_mask=mmask)
+            else:
+                h = layer(h, amask, pad_mask, deterministic)
         out = self.out(h)
         out = jnp.where(pad_mask[..., None], out, 0.0)
         return out.astype(jnp.float32), out_lens
 
     # ------------------------------------------------------------ streaming
     def init_state(self, batch_size: int) -> List[jnp.ndarray]:
+        """Flat state list: num_layers activation caches, then (if
+        max_memory_size > 0) num_layers memory banks, then a step
+        counter that masks not-yet-filled slots."""
         cfg = self.config
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        return [jnp.zeros((batch_size, cfg.left_context_length,
-                           cfg.input_dim), dt)
-                for _ in range(cfg.num_layers)]
+        state = [jnp.zeros((batch_size, cfg.left_context_length,
+                            cfg.input_dim), dt)
+                 for _ in range(cfg.num_layers)]
+        if cfg.max_memory_size > 0:
+            state += [jnp.zeros((batch_size, cfg.max_memory_size,
+                                 cfg.input_dim), dt)
+                      for _ in range(cfg.num_layers)]
+        state.append(jnp.zeros((batch_size,), jnp.int32))
+        return state
 
     def streaming_step(self, chunk_feats, states,
                        deterministic: bool = True):
@@ -150,19 +223,46 @@ class Emformer(nn.Module):
 
         Matches the reference's chunked `streaming_step` surface
         (emformer.py:93-121); per-layer caches hold the last
-        left_context_length activations.
-        """
-        h, out_lens = self.subsample(chunk_feats,
-                                     jnp.full((chunk_feats.shape[0],),
-                                              chunk_feats.shape[1],
-                                              jnp.int32))
-        new_states = []
-        for layer, cache in zip(self.layers, states):
-            h, new_cache = layer.step(h, cache, deterministic)
-            new_states.append(new_cache)
+        left_context_length activations, and with max_memory_size > 0 a
+        rolling bank of past-segment summaries joins the K/V set
+        (reference capability via torchaudio Emformer max_memory_size,
+        emformer.py:36,70)."""
+        cfg = self.config
+        use_mem = cfg.max_memory_size > 0
+        n = cfg.num_layers
+        count = states[-1]
+        h, _ = self.subsample(chunk_feats,
+                              jnp.full((chunk_feats.shape[0],),
+                                       chunk_feats.shape[1],
+                                       jnp.int32))
+        B, C, _ = h.shape
+        L = cfg.left_context_length
+        # validity of cached frames / bank slots given `count` prior steps
+        n_cached = jnp.minimum(count * C, L)                    # (B,)
+        cache_mask = (jnp.arange(L)[None, :]
+                      >= (L - n_cached)[:, None])
+        if use_mem:
+            M = cfg.max_memory_size
+            n_bank = jnp.minimum(count, M)
+            bank_mask = jnp.arange(M)[None, :] >= (M - n_bank)[:, None]
+        new_states: List[jnp.ndarray] = list(states)
+        for i, layer in enumerate(self.layers):
+            ones = jnp.ones((B, C), bool)
+            summary = segment_summaries(h, ones, C) if use_mem else None
+            out, new_cache = layer.step(
+                h, states[i], deterministic, cache_mask=cache_mask,
+                bank=states[n + i] if use_mem else None,
+                bank_mask=bank_mask if use_mem else None)
+            new_states[i] = new_cache
+            if use_mem:
+                new_states[n + i] = jnp.concatenate(
+                    [states[n + i], summary], axis=1)[:, -M:]
+            h = out
+        new_states[-1] = count + 1
         return self.out(h).astype(jnp.float32), new_states
 
     def streaming_forward(self, feats, lengths, deterministic: bool = True):
         """Simulated streaming on a full utterance: identical to __call__
-        (the training mask already enforces segment + context visibility)."""
+        (the training mask already enforces segment + context + memory
+        visibility)."""
         return self(feats, lengths, deterministic)

@@ -51,9 +51,11 @@ class TestEmformer:
         out, new_states = m.apply({"params": params}, chunk, states,
                                   method=Emformer.streaming_step)
         assert out.shape[0] == 2 and out.shape[-1] == 32
-        assert len(new_states) == EM_TINY.num_layers
-        for s in new_states:
+        # per-layer caches + step counter
+        assert len(new_states) == EM_TINY.num_layers + 1
+        for s in new_states[:-1]:
             assert s.shape == (2, EM_TINY.left_context_length, 32)
+        assert int(new_states[-1][0]) == 1
         # a second step consumes the updated caches
         out2, _ = m.apply({"params": params}, x[:, 32:64], new_states,
                           method=Emformer.streaming_step)
@@ -104,3 +106,78 @@ class TestWav2Vec2:
         head = g["head"]
         assert sum(float(jnp.abs(v).sum())
                    for v in jax.tree.leaves(head)) > 0.0
+
+
+class TestEmformerMemoryBank:
+    """max_memory_size capability (reference emformer.py:36,70 via
+    torchaudio Emformer): past-segment summaries join the K/V set."""
+
+    CFG = EmformerConfig(feats_dim=80, subsampling_rate=4, input_dim=32,
+                         num_heads=2, ffn_dim=64, num_layers=2,
+                         segment_length=4, left_context_length=4,
+                         right_context_length=0, max_memory_size=4,
+                         output_dim=32, dropout=0.0)
+
+    def test_memory_mask_structure(self):
+        from speech2text_tpu.models.emformer import emformer_memory_mask
+        m = np.asarray(emformer_memory_mask(16, segment=4, max_memory=2))
+        # frame 9 (segment 2): sees summaries of segments 0 and 1 only
+        assert m[9, 0] and m[9, 1]
+        assert not m[9, 2] and not m[9, 3]
+        # frame 2 (segment 0): no past segments
+        assert not m[2].any()
+        # max_memory bound: frame 15 (segment 3) must not see segment 0
+        m2 = np.asarray(emformer_memory_mask(16, segment=4, max_memory=1))
+        assert m2[15, 2] and not m2[15, 1] and not m2[15, 0]
+
+    def test_memory_extends_receptive_field(self):
+        """A far-past change (outside left context, inside memory range)
+        must alter outputs iff max_memory_size > 0."""
+        key = jax.random.PRNGKey(0)
+        x1 = jax.random.normal(key, (1, 103, 80))
+        x2 = x1.at[:, :12].add(1.5)  # perturb raw frames 0-11 (seg 0 only)
+        lens = jnp.asarray([103])
+
+        cfg_mem = self.CFG
+        cfg_off = dataclasses.replace(cfg_mem, max_memory_size=0)
+        for cfg, expect_diff in ((cfg_off, False), (cfg_mem, True)):
+            m = Emformer(cfg)
+            params = m.init({"params": jax.random.PRNGKey(1)}, x1,
+                            lens)["params"]
+            o1, ol = m.apply({"params": params}, x1, lens)
+            o2, _ = m.apply({"params": params}, x2, lens)
+            # subsampled frame 20 = segment 5: left context reaches back to
+            # frame 16; segment 0 is visible only through the memory bank
+            d = float(jnp.abs(o1[0, 20] - o2[0, 20]).max())
+            if expect_diff:
+                assert d > 1e-6, "memory bank carried no information"
+            else:
+                assert d < 1e-6, f"leak without memory bank: {d}"
+
+    def test_streaming_bank_rotation_and_influence(self):
+        m = Emformer(self.CFG)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 131, 80))
+        lens = jnp.asarray([131])
+        params = m.init({"params": jax.random.PRNGKey(3)}, x,
+                        lens)["params"]
+        states = m.init_state(1)
+        n = self.CFG.num_layers
+        assert len(states) == 2 * n + 1  # caches + banks + counter
+        chunks = [x[:, i:i + 16] for i in range(0, 96, 16)]
+        outs = []
+        for c in chunks:
+            o, states = m.apply({"params": params}, c, states,
+                                method=Emformer.streaming_step)
+            outs.append(o)
+        assert int(states[-1][0]) == len(chunks)
+        for s in states[n:2 * n]:
+            assert s.shape == (1, self.CFG.max_memory_size, 32)
+        # memory influence: replaying the last chunk with a fresh state
+        # (empty bank+cache) gives a different output
+        fresh = m.init_state(1)
+        o_fresh, _ = m.apply({"params": params}, chunks[-1], fresh,
+                             method=Emformer.streaming_step)
+        assert float(jnp.abs(o_fresh - outs[-1]).max()) > 1e-6
+
+
+import dataclasses  # noqa: E402  (used by TestEmformerMemoryBank)
