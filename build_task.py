@@ -32,6 +32,10 @@ flags.mark_flag_as_required("training_config")
 
 
 def run_task(argv):
+    from speech2text_tpu.utils.cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     del argv
     config = load_config(FLAGS.training_config)
     for ov in FLAGS.override:

@@ -40,6 +40,10 @@ _INFER_TO_TRAIN = {
 
 
 def run_inference(argv):
+    from speech2text_tpu.utils.cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     del argv
     infer_cfg = load_config(FLAGS.inference_config)
     for ov in FLAGS.override:

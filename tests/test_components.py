@@ -49,9 +49,13 @@ class TestBatcher:
         idx0 = {i for _, idxs in e0 for i in idxs}
         idx1 = {i for _, idxs in e1 for i in idxs}
         assert idx0.isdisjoint(idx1)
-        # every batch has exactly its bucket's static size
-        for b, idxs in e0:
-            assert len(idxs) == specs[b].batch_size
+        # multihost lockstep: same batch count, same bucket (shape)
+        # sequence, equal local sizes = trimmed global / num_shards
+        assert len(e0) == len(e1)
+        for (bb0, i0), (bb1, i1) in zip(e0, e1):
+            assert bb0 == bb1 and len(i0) == len(i1)
+            assert len(i0) == specs[bb0].batch_size // 2 or \
+                len(i0) * 2 <= specs[bb0].batch_size
         # reshuffles across epochs
         assert b0.epoch_batches(0) != b0.epoch_batches(1)
 
