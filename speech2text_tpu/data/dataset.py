@@ -275,23 +275,37 @@ class LmPipeline:
         return {"text": text, "text_length": lens}
 
     def batches_per_epoch(self) -> int:
-        n = len(range(0, len(self.seqs) // self._num_shards
-                      - self.batch_size + 1, self.batch_size))
+        n = len(self._epoch_batches(0))
         return max(n, 1)
+
+    def _epoch_batches(self, epoch: int):
+        """Multihost lockstep (same contract as BucketBatcher): every
+        shard computes the same global batch sequence, then takes its
+        slice of each batch — equal counts and shapes across hosts."""
+        order = np.random.default_rng(17 + epoch).permutation(
+            len(self.seqs))
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order) - self.batch_size + 1,
+                                  self.batch_size)]
+        if not self.training:
+            rest = order[len(order) - len(order) % self.batch_size:]
+            if len(rest):
+                batches.append(np.asarray(
+                    list(rest) + [rest[0]] * (self.batch_size - len(rest))))
+        if self._num_shards > 1:
+            sharded = []
+            for idxs in batches:
+                m = len(idxs) // self._num_shards * self._num_shards
+                if m:
+                    sharded.append(idxs[self._shard:m:self._num_shards])
+            batches = sharded
+        return batches
 
     def __iter__(self):
         epoch = 0
         while True:
-            order = np.random.default_rng(17 + epoch).permutation(
-                len(self.seqs))[self._shard::self._num_shards]
-            for i in range(0, len(order) - self.batch_size + 1,
-                           self.batch_size):
-                yield self._make_batch(order[i:i + self.batch_size])
+            for idxs in self._epoch_batches(epoch):
+                yield self._make_batch(idxs)
             if not self.training:
-                rest = order[len(order) - len(order) % self.batch_size:]
-                if len(rest):
-                    idxs = list(rest) + [rest[0]] * (self.batch_size
-                                                     - len(rest))
-                    yield self._make_batch(idxs)
                 return
             epoch += 1

@@ -144,3 +144,38 @@ def test_pipeline_shard_parity_on_fixture():
     assert (seen[0] | seen[1]) == all_files
     gdups = {f for f, c in gcount.items() if c > 1}
     assert (seen[0] & seen[1]) <= gdups
+
+
+def test_lm_dataset_lockstep():
+    """LmDataset shards must see equal batch counts/shapes per epoch with
+    disjoint coverage (same lockstep contract as BucketBatcher)."""
+    import json
+    import tempfile
+    from speech2text_tpu.data.dataset import LmPipeline as LmDataset
+    from speech2text_tpu.data.tokenizer import TokenizerSetup
+    tok = TokenizerSetup({"type": "char", "config": {}})
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        for i in range(37):
+            txt = " ".join(chr(ord("a") + (i // 26) % 26)
+                            + chr(ord("a") + i % 26) * (j + 1)
+                            for j in range(3))
+            f.write(json.dumps({"audio_filepath": "x", "duration": 1.0,
+                                "text": f"{txt} utt"}) + "\n")
+        path = f.name
+    sets = [LmDataset(path, tok, batch_size=4, shard_index=s,
+                      num_shards=2, training=False) for s in range(2)]
+    assert sets[0].batches_per_epoch() == sets[1].batches_per_epoch()
+    b0, b1 = list(iter(sets[0])), list(iter(sets[1]))
+    assert len(b0) == len(b1) > 0
+    for x, y in zip(b0, b1):
+        assert x["text"].shape == y["text"].shape
+    seen = [set(), set()]
+    for i, bs in enumerate((b0, b1)):
+        for b in bs:
+            for row, ln in zip(b["text"], b["text_length"]):
+                seen[i].add(tuple(row[:int(ln)].tolist()))
+    # coverage: together the shards see (almost) all sequences; overlap
+    # only from the final-batch top-up repeat
+    assert len(seen[0] | seen[1]) >= 36
+    assert len(seen[0] & seen[1]) <= 1
