@@ -78,7 +78,15 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "1") != "0"
     model = _build_model(_flagship_config(vocab, dtype=dtype, remat=remat))
-    fbank = Fbank(FbankConfig(num_mel_bins=80, snip_edges=True))
+    # NOTE: any commit that changes the traced step (model/optimizer/loss)
+    # invalidates the persistent-cache entries for init_all and run_k; the
+    # next cold process then recompiles run_k on the axon compile service
+    # (~15 min) — ALWAYS re-run bench.py to completion after such a change
+    # so the driver's cold run hits a warm cache.
+    fbank_kind = os.environ.get("BENCH_FBANK")  # "pallas" | "dft" | None
+    fbank = Fbank(FbankConfig(num_mel_bins=80, snip_edges=True),
+                  use_pallas=None if fbank_kind is None
+                  else fbank_kind == "pallas")
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
     tx = scaled_adam(learning_rate=1e-3)
 
