@@ -76,8 +76,17 @@ def main():
 
     vocab = 128
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    remat = os.environ.get("BENCH_REMAT", "1") != "0"
-    model = _build_model(_flagship_config(vocab, dtype=dtype, remat=remat))
+    # remat off by default: B=24 fits HBM without it and the step is ~9%
+    # faster (104.8 vs 114.7 ms measured on v5e); BENCH_REMAT=1 re-enables.
+    remat = os.environ.get("BENCH_REMAT", "0") != "0"
+    # scan-over-layers measured 11% slower per step (116.5 vs 104.8 ms) and
+    # barely smaller serialized (68.6 vs 70.5 MB — the executable-size win
+    # came from passing the batch as arguments, not from layer dedup), so
+    # the bench unrolls by default; BENCH_SCAN=1 to flip.
+    scan = os.environ.get("BENCH_SCAN", "0") != "0"
+    cfg = _flagship_config(vocab, dtype=dtype, remat=remat)
+    cfg["encoder"]["config"]["scan_layers"] = scan
+    model = _build_model(cfg)
     # NOTE: any commit that changes the traced step (model/optimizer/loss)
     # invalidates the persistent-cache entries for init_all and run_k; the
     # next cold process then recompiles run_k on the axon compile service
@@ -117,7 +126,7 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", 20))
 
-    def one_step(params, opt_state, key):
+    def one_step(params, opt_state, key, pcm, pcm_lens, labels, lab_lens):
         feats, feat_lens = fbank(pcm, pcm_lens)
 
         def lf(p):
@@ -135,13 +144,20 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
-    def run_k(params, opt_state, key, k):
-        """k training steps as one device program (single dispatch)."""
+    def run_k(params, opt_state, key, k, pcm, pcm_lens, labels, lab_lens):
+        """k training steps as one device program (single dispatch).
+
+        The batch arrays are arguments, not closed-over constants — embedded
+        constants bloat the serialized executable that must be uploaded
+        through the axon tunnel (~1 MB/s) on every cold process.
+        """
 
         def body(i, carry):
             params, opt_state, key, _ = carry
             key, sub = jax.random.split(key)
-            params, opt_state, loss = one_step(params, opt_state, sub)
+            params, opt_state, loss = one_step(params, opt_state, sub,
+                                               pcm, pcm_lens, labels,
+                                               lab_lens)
             return (params, opt_state, key, loss)
 
         return lax.fori_loop(
@@ -151,12 +167,12 @@ def main():
     log("compiling + warmup dispatch (cold compile is slow without a "
         "warm .jax_cache)...")
     key = jax.random.PRNGKey(1)
-    params, opt_state, key, loss = run_k(params, opt_state, key, n_iters)
+    params, opt_state, key, loss = run_k(params, opt_state, key, n_iters, pcm, pcm_lens, labels, lab_lens)
     warm_loss = float(loss)  # host fetch = the only reliable fence on axon
     log(f"warmup done (loss {warm_loss:.3f}); timing {n_iters} steps...")
 
     t0 = time.perf_counter()
-    params, opt_state, key, loss = run_k(params, opt_state, key, n_iters)
+    params, opt_state, key, loss = run_k(params, opt_state, key, n_iters, pcm, pcm_lens, labels, lab_lens)
     final_loss = float(loss)
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"

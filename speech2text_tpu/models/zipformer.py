@@ -709,8 +709,31 @@ class Zipformer2EncoderLayer(nn.Module):
         return x, new_cache
 
 
+class _ScanLayer(Zipformer2EncoderLayer):
+    """Zipformer2EncoderLayer with an (carry, y) return for `nn.scan`."""
+
+    def __call__(self, x, pos_emb, pad_mask, attn_mask=None,
+                 deterministic=True, step=None):
+        y = Zipformer2EncoderLayer.__call__(self, x, pos_emb, pad_mask,
+                                            attn_mask, deterministic, step)
+        # f32 bypass/norm scales upcast the residual stream; cast back so
+        # the scan carry dtype is stable (keeps the stack in bf16, which
+        # the unrolled form silently lost after layer 0)
+        return y.astype(x.dtype), None
+
+
 class Zipformer2Stack(nn.Module):
-    """One resolution stack: downsample → layers → upsample → bypass."""
+    """One resolution stack: downsample → layers → upsample → bypass.
+
+    `scan_layers=True` compiles the (identical) layers of this stack as ONE
+    `nn.scan` loop body instead of unrolling them — the idiomatic JAX way
+    to keep executable size and compile time independent of depth. Math is
+    identical to the unrolled form (`tests/test_zipformer.py` asserts it);
+    only the parameter layout changes: `layers/...: (L, ...)` stacked
+    leaves instead of `layer{i}/...` subtrees. Convert checkpoints between
+    the layouts with `stack_layer_params` / `unstack_layer_params`.
+    Streaming decode uses the unrolled layout (convert first).
+    """
     num_layers: int
     downsample: int
     embed_dim: int
@@ -726,20 +749,33 @@ class Zipformer2Stack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     dynamics: bool = False
+    scan_layers: bool = False
 
     def setup(self):
-        layer_cls = Zipformer2EncoderLayer
-        if self.remat:
-            layer_cls = nn.remat(Zipformer2EncoderLayer,
-                                 static_argnums=(5,))
-        self.layers = [
-            layer_cls(self.embed_dim, self.ff_dim, self.num_heads,
+        layer_args = (self.embed_dim, self.ff_dim, self.num_heads,
                       self.query_head_dim, self.value_head_dim,
                       self.pos_head_dim, self.pos_dim, self.kernel_size,
-                      self.causal, self.dropout, self.dtype,
-                      self.dynamics, name=f"layer{i}")
-            for i in range(self.num_layers)
-        ]
+                      self.causal, self.dropout, self.dtype, self.dynamics)
+        if self.scan_layers and self.num_layers > 1:
+            body = _ScanLayer
+            if self.remat:
+                body = nn.remat(body, static_argnums=(5,))
+            self.layers_scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers)(*layer_args, name="layers")
+            self.layers = ()
+        else:
+            layer_cls = Zipformer2EncoderLayer
+            if self.remat:
+                layer_cls = nn.remat(Zipformer2EncoderLayer,
+                                     static_argnums=(5,))
+            self.layers = [
+                layer_cls(*layer_args, name=f"layer{i}")
+                for i in range(self.num_layers)
+            ]
         self.down = SimpleDownsample(self.downsample, name="downsample")
         self.up = SimpleUpsample(self.downsample)
         self.penc = CompactRelPositionalEncoding(self.pos_dim)
@@ -756,8 +792,13 @@ class Zipformer2Stack(nn.Module):
         pad_mask = make_non_pad_mask(ds_len, Td)
         attn_mask = attn_mask_fn(Td, self.downsample, pad_mask)
         pos_emb = self.penc(Td)
-        for layer in self.layers:
-            x = layer(x, pos_emb, pad_mask, attn_mask, deterministic, step)
+        if self.scan_layers and self.num_layers > 1:
+            x, _ = self.layers_scan(x, pos_emb, pad_mask, attn_mask,
+                                    deterministic, step)
+        else:
+            for layer in self.layers:
+                x = layer(x, pos_emb, pad_mask, attn_mask, deterministic,
+                          step)
         x = self.up(x, T)
         x = jnp.where(make_non_pad_mask(lengths, T)[..., None], x, 0.0)
         d_common = min(D_in, self.embed_dim)
@@ -820,6 +861,44 @@ class Zipformer2Stack(nn.Module):
         return out, new_caches
 
 
+# -------------------------------------------------- scan-layout conversion
+def stack_layer_params(params):
+    """Convert a zipformer param tree from the unrolled `layer{i}` layout
+    to the `scan_layers=True` layout (`layers` with leading L axis).
+    Works on any subtree; returns a new tree."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    layer_keys = sorted(k for k in params if k.startswith("layer")
+                        and k[5:].isdigit())
+    for k, v in params.items():
+        if k in layer_keys:
+            continue
+        out[k] = stack_layer_params(v)
+    if layer_keys:
+        subtrees = [params[f"layer{i}"] for i in range(len(layer_keys))]
+        out["layers"] = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves, axis=0), *subtrees)
+    return out
+
+
+def unstack_layer_params(params):
+    """Inverse of `stack_layer_params`: `layers` (L, ...) → `layer{i}`.
+    Needed before streaming decode, which runs the unrolled layout."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            n = jax.tree_util.tree_leaves(v)[0].shape[0]
+            for i in range(n):
+                out[f"layer{i}"] = jax.tree_util.tree_map(
+                    lambda leaf: leaf[i], v)
+        else:
+            out[k] = unstack_layer_params(v)
+    return out
+
+
 # ------------------------------------------------------------------ model
 @dataclasses.dataclass
 class Zipformer2Config:
@@ -848,6 +927,9 @@ class Zipformer2Config:
     # icefall training dynamics: skip-rate/bypass schedules + per-module
     # Balancer/Whiten placements (reference zipformer.py:937-950,1015-1072)
     dynamics: bool = False
+    # compile each stack's layers as one nn.scan loop (smaller executable,
+    # faster compile; same math — see Zipformer2Stack docstring)
+    scan_layers: bool = False
 
     @classmethod
     def from_config(cls, cfg: dict) -> "Zipformer2Config":
@@ -891,6 +973,7 @@ class Zipformer2(nn.Module):
                 dtype=dt,
                 remat=cfg.remat,
                 dynamics=cfg.dynamics,
+                scan_layers=cfg.scan_layers,
                 name=f"stack{i}")
             for i in range(len(cfg.encoder_dim))
         ]

@@ -137,3 +137,37 @@ def test_nonlin_attention_step_matches_forward():
                             method=NonlinAttention.step)
     np.testing.assert_allclose(np.asarray(full), np.asarray(out_step),
                                atol=1e-5)
+
+
+def test_scan_layers_equivalence(setup):
+    """scan_layers=True computes the same function as the unrolled form
+    given layout-converted params (and the layouts round-trip)."""
+    import dataclasses
+
+    from speech2text_tpu.models.zipformer import (stack_layer_params,
+                                                  unstack_layer_params)
+    m, x, lens, params = setup
+    cfg2 = dataclasses.replace(TINY, num_encoder_layers=(2, 2, 2),
+                               scan_layers=False)
+    m_loop = Zipformer2(cfg2)
+    p_loop = m_loop.init({"params": jax.random.PRNGKey(3)}, x,
+                         lens)["params"]
+    y_loop, l_loop = m_loop.apply({"params": p_loop}, x, lens)
+
+    m_scan = Zipformer2(dataclasses.replace(cfg2, scan_layers=True))
+    p_scan = stack_layer_params(p_loop)
+    # shape sanity: scanned init produces the same tree structure
+    p_init = m_scan.init({"params": jax.random.PRNGKey(4)}, x,
+                         lens)["params"]
+    assert (jax.tree_util.tree_structure(p_init)
+            == jax.tree_util.tree_structure(p_scan))
+    y_scan, l_scan = m_scan.apply({"params": p_scan}, x, lens)
+    np.testing.assert_array_equal(np.asarray(l_loop), np.asarray(l_scan))
+    np.testing.assert_allclose(np.asarray(y_loop), np.asarray(y_scan),
+                               rtol=2e-5, atol=2e-5)
+
+    # round-trip back to the unrolled layout
+    p_back = unstack_layer_params(p_scan)
+    y_back, _ = m_loop.apply({"params": p_back}, x, lens)
+    np.testing.assert_allclose(np.asarray(y_loop), np.asarray(y_back),
+                               rtol=1e-6, atol=1e-6)
