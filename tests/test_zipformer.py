@@ -171,3 +171,31 @@ def test_scan_layers_equivalence(setup):
     y_back, _ = m_loop.apply({"params": p_back}, x, lens)
     np.testing.assert_allclose(np.asarray(y_loop), np.asarray(y_back),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_remat_dynamics_traced_step_grad():
+    """remat + icefall dynamics + traced global-step compose (both layer
+    layouts): the nn.remat static_argnums choice must not capture the
+    traced `step` scalar."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, downsampling_factor=(1, 2), num_encoder_layers=(2, 2),
+        feedforward_dim=(64, 64), encoder_dim=(32, 48),
+        encoder_unmasked_dim=(24, 24), num_heads=(2, 2),
+        cnn_module_kernel=(7, 7), dropout=0.1, remat=True, dynamics=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 51, 80))
+    lens = jnp.array([51, 37])
+    for scan in (False, True):
+        m = Zipformer2(dataclasses.replace(cfg, scan_layers=scan))
+        p = m.init({"params": jax.random.PRNGKey(1)}, x, lens)["params"]
+
+        def loss(pp, step, m=m):
+            y, _ = m.apply({"params": pp}, x, lens, deterministic=False,
+                           step=step, rngs={"dropout": jax.random.PRNGKey(2)})
+            return (y.astype(jnp.float32) ** 2).mean()
+
+        g = jax.grad(loss)(p, jnp.asarray(100.0))
+        total = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
+        assert np.isfinite(total) and total > 0
