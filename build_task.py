@@ -98,8 +98,11 @@ def run_task(argv):
                 for i, batch in enumerate(pipe):
                     if i >= max_batches:
                         break
-                    feats, lens = task.frontend(batch["pcm"],
-                                                batch["pcm_length"])
+                    import jax.numpy as _jnp
+
+                    from speech2text_tpu.tasks.base import _dequant_pcm
+                    feats, lens = task.frontend(_dequant_pcm(
+                        _jnp.asarray(batch["pcm"])), batch["pcm_length"])
                     yield _np.asarray(feats), _np.asarray(lens)
 
             compute_cmvn_stats(feat_iter()).save(stats_path)

@@ -60,6 +60,13 @@ class DataConfig:
     # single-threaded host pipeline, so repeated epochs over corpora that
     # fit are served from RAM. 0 disables.
     pcm_cache_bytes: int = 2 << 30
+    # dtype of the pcm arrays shipped to the device: "int16" halves
+    # host->device transfer (audio is natively 16-bit; tasks dequantize
+    # to float32 on device in `featurize`). Besides bandwidth, this
+    # matters on hosts whose device-transfer path leaks or pins staging
+    # buffers (observed on the axon TPU tunnel: RSS grows by exactly the
+    # bytes transferred). "float32" restores the old behavior.
+    pcm_dtype: str = "int16"
 
 
 def _resolve(base: str, path: str) -> str:
@@ -67,6 +74,14 @@ def _resolve(base: str, path: str) -> str:
     if os.path.isabs(path) or not base:
         return path
     return os.path.join(base, path)
+
+
+def _quant16(wav: np.ndarray) -> np.ndarray:
+    """float [-1,1] → int16 (the device dequantizes with /32768). Exact
+    round-trip for samples that came from 16-bit wavs untouched; ±0.5 LSB
+    (≈1.5e-5) after float-domain processing like speed perturb — well
+    below fbank dither."""
+    return np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
 
 
 class NoisePool:
@@ -173,7 +188,8 @@ class AsrPipeline:
     def _load_batch(self, bucket: int, idxs: List[int]) -> Dict[str, Any]:
         spec = self.specs[bucket]
         B = len(idxs)
-        pcm = np.zeros((B, spec.pcm_len), np.float32)
+        int16 = self.cfg.pcm_dtype == "int16"
+        pcm = np.zeros((B, spec.pcm_len), np.int16 if int16 else np.float32)
         pcm_len = np.zeros((B,), np.int32)
         label = np.zeros((B, spec.label_len), np.int32)
         label_len = np.zeros((B,), np.int32)
@@ -185,7 +201,7 @@ class AsrPipeline:
                 speed = _SPEEDS[self._rng.integers(0, len(_SPEEDS))]
                 wav = speed_perturb(wav, speed)
             n = min(len(wav), spec.pcm_len)
-            pcm[i, :n] = wav[:n]
+            pcm[i, :n] = _quant16(wav[:n]) if int16 else wav[:n]
             pcm_len[i] = n
             toks = self._tokens[j]
             u = min(len(toks), spec.label_len)
@@ -198,7 +214,7 @@ class AsrPipeline:
                  "label_length": label_len}
         if self.noise_pool is not None:
             npcm, nlen = self.noise_pool.sample_batch(self._rng, B)
-            batch["noise_pcm"] = npcm
+            batch["noise_pcm"] = _quant16(npcm) if int16 else npcm
             batch["noise_length"] = nlen
         if self.keep_text:
             batch["text"] = texts

@@ -21,6 +21,14 @@ from ..models.cmvn import GlobalCmvn
 from ..config import from_dict
 
 
+def _dequant_pcm(pcm: jnp.ndarray) -> jnp.ndarray:
+    """int16 wire format → float32 waveform (see DataConfig.pcm_dtype:
+    audio ships as int16 to halve host→device transfer)."""
+    if pcm.dtype == jnp.int16:
+        return pcm.astype(jnp.float32) * (1.0 / 32768.0)
+    return pcm
+
+
 class AsrTaskBase:
     """Builds tokenizer, frontend, CMVN, augmentation config from the YAML
     tree (reference BaseRnntTask.__init__ parity, rnnt_task.py:56-67)."""
@@ -67,7 +75,7 @@ class AsrTaskBase:
         """pcm batch → (feats (B,T,D), feat_lens). Pure/jit-safe. Applies
         (in reference order, dataset.py:141-208): add_noise(p) → fbank →
         mix_feats(p) → CMVN → SpecAugment."""
-        pcm = batch["pcm"]
+        pcm = _dequant_pcm(batch["pcm"])
         pcm_lens = batch["pcm_length"]
         if not training or rng is None:
             feats, lens = self.frontend(pcm, pcm_lens)
@@ -80,7 +88,8 @@ class AsrTaskBase:
             p = float(self.aug.get("add_noise_proportion", 0.5))
             apply = jax.random.bernoulli(k_apply1, p, (pcm.shape[0],))
             pcm = augment.add_noise(
-                pcm, pcm_lens, batch["noise_pcm"], batch["noise_length"],
+                pcm, pcm_lens, _dequant_pcm(batch["noise_pcm"]),
+                batch["noise_length"],
                 k_noise, min_snr_db=float(nc.get("min_snr_db", 10)),
                 max_snr_db=float(nc.get("max_snr_db", 50)), apply=apply)
         feats, lens = self.frontend(pcm, pcm_lens, dither_key=k_dither)
@@ -89,7 +98,7 @@ class AsrTaskBase:
             mc = self.aug.get("mix_feats_config", {})
             p = float(self.aug.get("mix_feats_proportion", 0.5))
             napply = jax.random.bernoulli(k_apply2, p, (pcm.shape[0],))
-            nfeats, nlens = self.frontend(batch["noise_pcm"],
+            nfeats, nlens = self.frontend(_dequant_pcm(batch["noise_pcm"]),
                                           batch["noise_length"])
             feats = augment.mix_feats(feats, lens, nfeats, nlens, k_mix,
                                       snrs=tuple(mc.get("snrs", (10, 20))),

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import json
 import os
+import resource
+import sys
 import time
 from typing import Any, Dict, Optional
 
@@ -30,6 +32,11 @@ from ..utils.logging import get_logger
 from .checkpoint import CheckpointManager
 
 log = get_logger(__name__)
+
+
+def _rss_gb() -> float:
+    """Current peak host RSS in GB (ru_maxrss is kB on Linux)."""
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
 class Trainer:
@@ -58,6 +65,16 @@ class Trainer:
 
         self.max_epochs = tcfg.get("max_epochs")
         self.max_steps = tcfg.get("max_steps")
+        # ---- host-RSS watchdog (failure detection the reference lacks,
+        # SURVEY §5): some device-transfer stacks leak/pin host staging
+        # buffers per transferred byte (observed on the axon TPU tunnel),
+        # so a long run eventually OOMs. Being SIGKILLed mid-step can also
+        # wedge the device server. When RSS exceeds `max_rss_gb` the loop
+        # checkpoints, then either exec-restarts the process in place
+        # (`rss_restart: true`, default — training resumes from the
+        # checkpoint with a fresh address space) or exits cleanly.
+        self.max_rss_gb = float(tcfg.get("max_rss_gb", 0) or 0)
+        self.rss_restart = bool(tcfg.get("rss_restart", True))
         self.val_check_interval = tcfg.get("val_check_interval", 1.0)
         self.log_interval = int(tcfg.get("log_interval", 50))
 
@@ -209,6 +226,26 @@ class Trainer:
                          "opt_state": jax.device_get(opt_state),
                          "step": step},
                         metrics=last_eval)
+                if (self.max_rss_gb
+                        and step % self.log_interval == 0
+                        and _rss_gb() > self.max_rss_gb):
+                    log.warning(
+                        "host RSS %.1f GB > max_rss_gb %.1f at step %d: "
+                        "checkpointing and %s", _rss_gb(), self.max_rss_gb,
+                        step, "exec-restarting" if self.rss_restart
+                        else "exiting")
+                    self.ckpt.save(
+                        step,
+                        {"params": jax.device_get(params),
+                         "opt_state": jax.device_get(opt_state),
+                         "step": step},
+                        metrics=last_eval or {})
+                    self._metrics_file.flush()
+                    self._tb.flush()
+                    if self.rss_restart:
+                        os.execv(sys.executable,
+                                 [sys.executable] + sys.argv)
+                    return last_eval
         return last_eval
 
     # ------------------------------------------------------------- evaluate

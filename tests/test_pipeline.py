@@ -46,13 +46,12 @@ class TestAsrPipeline:
             shapes.setdefault(key, 0)
             shapes[key] += 1
             # contract checks
-            assert b["pcm"].dtype == np.float32
+            # wire format: int16 by default (halved host->device bytes)
+            assert b["pcm"].dtype == np.int16
             assert (b["pcm_length"] <= b["pcm"].shape[1]).all()
             assert (b["label_length"] <= b["label"].shape[1]).all()
             assert (b["label"][0, :b["label_length"][0]] > 0).all()
             assert "noise_pcm" in b and "noise_length" in b
-            # pcm normalized range
-            assert np.abs(b["pcm"]).max() <= 1.0
         # ≤ num_bucket distinct shapes (XLA program count bound)
         assert len(shapes) <= 2
 
@@ -92,3 +91,26 @@ def test_noise_pool_sampling(rng):
     assert pcm.shape[0] == 3
     assert (lens > 0).all()
     assert np.abs(pcm).max() <= 1.0
+
+
+def test_pcm_int16_wire_equivalence():
+    """int16 wire batches dequantize on device to the float32 batches
+    (exact round-trip for untouched 16-bit sources; the eval path applies
+    no float-domain processing)."""
+    import jax.numpy as jnp
+
+    from speech2text_tpu.tasks.base import _dequant_pcm
+    cfg16 = make_config(data_aug_config={})
+    cfg32 = make_config(data_aug_config={}, pcm_dtype="float32")
+    tok = CharTokenizer()
+    b16 = next(iter(AsrPipeline(cfg16.eval_data, tok, cfg16,
+                                training=False)))
+    b32 = next(iter(AsrPipeline(cfg32.eval_data, tok, cfg32,
+                                training=False)))
+    assert b16["pcm"].dtype == np.int16
+    assert b32["pcm"].dtype == np.float32
+    deq = np.asarray(_dequant_pcm(jnp.asarray(b16["pcm"])))
+    np.testing.assert_allclose(deq, b32["pcm"], atol=1.6e-5)
+    # float32 passthrough is the identity
+    same = np.asarray(_dequant_pcm(jnp.asarray(b32["pcm"])))
+    np.testing.assert_array_equal(same, b32["pcm"])
