@@ -254,7 +254,11 @@ class Trainer:
         pipe = task.make_eval_pipeline()
         metric = AsrMetric()
         scalars: Dict[str, list] = {}
-        eval_fwd = jax.jit(task.eval_forward)
+        # jit once per Trainer: re-wrapping each eval would re-trace (slow
+        # on a 1-core host) and retain dead executables
+        eval_fwd = getattr(self, "_eval_fwd", None)
+        if eval_fwd is None:
+            eval_fwd = self._eval_fwd = jax.jit(task.eval_forward)
         from ..decoding import reference_decoder
         with self.mesh:
             for batch in pipe:
