@@ -25,9 +25,14 @@ optimizer/scaled_adam.py:112-736) keeping the exact update semantics:
    clamp applied to the parameter before the delta (reference
    `_step_scalar`, :715-736).
 
-The reference's `BatchedOptimizer` stacks same-shaped tensors to cut CUDA
-kernel-launch overhead (scaled_adam.py:16-109); under jit the whole update
-is one fused XLA program, so that machinery is unnecessary here.
+Like the reference's `BatchedOptimizer` (scaled_adam.py:16-109), leaves
+are **grouped by shape and stacked**, and the update runs vectorized over
+each stack's leading axis. This matters on TPU just as it does on CUDA:
+a per-leaf update on the ~600-leaf flagship tree lowers to thousands of
+tiny sequential XLA ops and measured **56 ms of a 96 ms train step**;
+grouping to the ~60 distinct shapes cuts the op count ~10×. The math per
+tensor is unchanged (verified against the torch reference optimizer in
+tests/test_scaled_adam_oracle.py).
 
 `dominant_parameter_report` reproduces the reference's dominant-parameter
 diagnostics (`_show_gradient_dominating_parameter`, :472-527).
@@ -44,16 +49,32 @@ import optax
 
 class ScaledAdamState(NamedTuple):
     count: jnp.ndarray            # scalar int32 (== icefall `step`)
-    delta: optax.Updates          # momentum buffer (lr folded in)
-    exp_avg_sq: optax.Updates     # second moment of grads
-    scale_exp_avg_sq: optax.Updates  # second moment of scale grads (scalar)
-    scale_grads: optax.Updates    # (size_update_period,) per tensor leaf
-    param_rms: optax.Updates      # periodically-refreshed rms (scalar/leaf)
     norm_buffer: jnp.ndarray      # (buffer_size,) recent weighted norms
+    # per shape-group stacked state, each leading dim = #leaves in group:
+    delta: tuple                  # (N, *shape) momentum (lr folded in)
+    exp_avg_sq: tuple             # (N, *shape) second moment of grads
+    scale_exp_avg_sq: tuple       # (N,) second moment of scale grads
+    scale_grads: tuple            # (N, size_update_period)
+    param_rms: tuple              # (N,) periodically-refreshed rms
 
 
 def _rms(p):
     return jnp.sqrt(jnp.mean(jnp.square(p)))
+
+
+def _group_by_shape(leaves):
+    """Indices of leaves grouped by identical shape (static, derived from
+    the tree structure — same role as the reference BatchedOptimizer's
+    stacking, scaled_adam.py:16-109)."""
+    by_shape: dict = {}
+    for i, leaf in enumerate(leaves):
+        by_shape.setdefault(tuple(leaf.shape), []).append(i)
+    return list(by_shape.values())
+
+
+def _bcast(x, ndim):
+    """(N,) → (N, 1, ..., 1) for broadcasting against (N, *shape)."""
+    return x.reshape(x.shape + (1,) * (ndim - 1))
 
 
 def scaled_adam(
@@ -77,19 +98,27 @@ def scaled_adam(
         return jnp.asarray(learning_rate, jnp.float32)
 
     def init(params):
-        f32 = lambda p: jnp.zeros_like(p, jnp.float32)
+        leaves = jax.tree.leaves(params)
+        groups = _group_by_shape(leaves)
+        delta, v, sv, sg, rms = [], [], [], [], []
+        for idxs in groups:
+            n = len(idxs)
+            shape = (n,) + tuple(leaves[idxs[0]].shape)
+            delta.append(jnp.zeros(shape, jnp.float32))
+            v.append(jnp.zeros(shape, jnp.float32))
+            sv.append(jnp.zeros((n,), jnp.float32))
+            sg.append(jnp.zeros((n, P), jnp.float32))
+            stacked = jnp.stack([leaves[i].astype(jnp.float32)
+                                 for i in idxs])
+            axes = tuple(range(1, stacked.ndim))
+            # axis=() (scalar group) reduces nothing: per-leaf |x|
+            rms.append(jnp.sqrt(jnp.mean(jnp.square(stacked), axis=axes)))
         return ScaledAdamState(
             count=jnp.zeros((), jnp.int32),
-            delta=jax.tree.map(f32, params),
-            exp_avg_sq=jax.tree.map(f32, params),
-            scale_exp_avg_sq=jax.tree.map(
-                lambda p: jnp.zeros((), jnp.float32), params),
-            scale_grads=jax.tree.map(
-                lambda p: jnp.zeros((P,), jnp.float32), params),
-            param_rms=jax.tree.map(
-                lambda p: _rms(p.astype(jnp.float32)), params),
             norm_buffer=jnp.zeros((norm_buffer_size,), jnp.float32),
-        )
+            delta=tuple(delta), exp_avg_sq=tuple(v),
+            scale_exp_avg_sq=tuple(sv), scale_grads=tuple(sg),
+            param_rms=tuple(rms))
 
     def update(grads, state, params=None):
         assert params is not None, "scaled_adam requires params"
@@ -97,18 +126,34 @@ def scaled_adam(
         cf = step.astype(jnp.float32) + 1.0
         lr = lr_at(step)
 
+        leaves_g, treedef = jax.tree.flatten(grads)
+        leaves_p = treedef.flatten_up_to(params)
+        groups = _group_by_shape(leaves_g)
+
+        # stack grads/params once per shape group (reused by the clipping
+        # norm and the update)
+        G, Pm = [], []
+        for idxs in groups:
+            G.append(jnp.stack([leaves_g[i].astype(jnp.float32)
+                                for i in idxs]))
+            Pm.append(jnp.stack([leaves_p[i].astype(jnp.float32)
+                                 for i in idxs]))
+
+        def grp_axes(x):
+            return tuple(range(1, x.ndim))
+
         # ---- rms-weighted global norm + median-based adaptive clipping
         # (reference _get_clipping_scale: tensors weighted by param_rms,
         # scalars by scalar_lr_scale)
-        def leaf_sumsq(g, rms, p):
-            g = g.astype(jnp.float32)
-            if p.size <= 1:
-                return jnp.sum(jnp.square(g)) * scalar_lr_scale ** 2
-            return jnp.sum(jnp.square(g)) * jnp.square(rms)
-
         if clipping_scale is not None and clipping_scale > 0:
-            tot = sum(jax.tree.leaves(jax.tree.map(
-                leaf_sumsq, grads, state.param_rms, params)))
+            tot = jnp.zeros((), jnp.float32)
+            for gi, idxs in enumerate(groups):
+                g = G[gi]
+                sumsq = jnp.sum(jnp.square(g), axis=grp_axes(g))
+                scalar_grp = leaves_p[idxs[0]].size <= 1
+                w = (scalar_lr_scale ** 2 if scalar_grp
+                     else jnp.square(state.param_rms[gi]))
+                tot = tot + jnp.sum(sumsq * w)
             gnorm = jnp.sqrt(tot)
             idx = jnp.mod(step, norm_buffer_size)
             buf = state.norm_buffer.at[idx].set(gnorm)
@@ -134,11 +179,14 @@ def scaled_adam(
             size_step.astype(jnp.float32), 1.0)
         bias2 = 1.0 - beta2 ** cf
 
-        def leaf_update(g, d, v, sv, sgbuf, rms, p):
-            g = g.astype(jnp.float32) * clip
-            p32 = p.astype(jnp.float32)
+        def group_update(g, d, v, sv, sgbuf, rms, p32, scalar_grp):
+            """Vectorized over the stacked leading axis; per-tensor
+            reductions run over the remaining axes. Identical math to the
+            per-leaf form (oracle-tested)."""
+            axes = grp_axes(g)
+            g = g * clip
             d = beta1 * d                              # delta.mul_(beta1)
-            if p.size <= 1:
+            if scalar_grp:
                 # _step_scalar: plain Adam, scaled lr, param clamp
                 v = beta2 * v + (1.0 - beta2) * jnp.square(g)
                 denom = jnp.sqrt(v / bias2) + eps
@@ -147,42 +195,51 @@ def scaled_adam(
                 return (clamped + d - p32), d, v, sv, sgbuf, rms
             # buffer this step's scale grad; on period boundaries refresh
             # param_rms and apply the size update (reference :588-599)
-            sgbuf = sgbuf.at[jnp.mod(step, P)].set(jnp.sum(g * p32))
-            new_rms = jnp.where(is_boundary, _rms(p32), rms)
+            sgbuf = sgbuf.at[:, jnp.mod(step, P)].set(
+                jnp.sum(g * p32, axis=axes))
+            new_rms = jnp.where(
+                is_boundary,
+                jnp.sqrt(jnp.mean(jnp.square(p32), axis=axes)), rms)
             sv_new = (beta2_corr * sv
-                      + (1.0 - beta2_corr) * jnp.mean(jnp.square(sgbuf)))
+                      + (1.0 - beta2_corr) * jnp.mean(jnp.square(sgbuf),
+                                                      axis=1))
             sv = jnp.where(is_boundary, sv_new, sv)
             s_denom = jnp.sqrt(sv) + eps
             scale_step = (-(lr * scalar_lr_scale) * jnp.sqrt(bias2_size)
-                          * jnp.sum(sgbuf) / s_denom)
+                          * jnp.sum(sgbuf, axis=1) / s_denom)
             scale_step = jnp.where(new_rms < param_min_rms, 0.0, scale_step)
             scale_step = jnp.minimum(
                 scale_step, (param_max_rms - new_rms)
                 / jnp.maximum(new_rms, 1e-12))
             apply_scale = is_boundary & (step > 0)
-            d = d + jnp.where(apply_scale,
-                              (1.0 - beta1) * scale_step, 0.0) * p32
+            d = d + _bcast(jnp.where(apply_scale,
+                                     (1.0 - beta1) * scale_step, 0.0),
+                           d.ndim) * p32
             # main grad term (reference _step)
             v = beta2 * v + (1.0 - beta2) * jnp.square(g)
             vhat = v / jnp.where(bias2 < 0.99, bias2, 1.0)
             denom = jnp.sqrt(vhat) + eps
             alpha = -lr * (1.0 - beta1) * jnp.maximum(new_rms,
                                                       param_min_rms)
-            d = d + alpha * g / denom
+            d = d + _bcast(alpha, d.ndim) * g / denom
             return d, d, v, sv, sgbuf, new_rms
 
-        leaves_g, treedef = jax.tree.flatten(grads)
-        z = zip(leaves_g,
-                treedef.flatten_up_to(state.delta),
-                treedef.flatten_up_to(state.exp_avg_sq),
-                treedef.flatten_up_to(state.scale_exp_avg_sq),
-                treedef.flatten_up_to(state.scale_grads),
-                treedef.flatten_up_to(state.param_rms),
-                treedef.flatten_up_to(params))
-        outs = [leaf_update(*args) for args in z]
-        unf = lambda i: treedef.unflatten([o[i] for o in outs])
-        return unf(0), ScaledAdamState(step + 1, unf(1), unf(2), unf(3),
-                                       unf(4), unf(5), buf)
+        out_leaves = [None] * len(leaves_g)
+        nd, nv, nsv, nsg, nrms = [], [], [], [], []
+        for gi, idxs in enumerate(groups):
+            scalar_grp = leaves_p[idxs[0]].size <= 1
+            upd, d, v, sv, sg, rms = group_update(
+                G[gi], state.delta[gi], state.exp_avg_sq[gi],
+                state.scale_exp_avg_sq[gi], state.scale_grads[gi],
+                state.param_rms[gi], Pm[gi], scalar_grp)
+            nd.append(d), nv.append(v), nsv.append(sv)
+            nsg.append(sg), nrms.append(rms)
+            for k, i in enumerate(idxs):
+                out_leaves[i] = upd[k]
+        updates = treedef.unflatten(out_leaves)
+        return updates, ScaledAdamState(
+            step + 1, buf, tuple(nd), tuple(nv), tuple(nsv), tuple(nsg),
+            tuple(nrms))
 
     return optax.GradientTransformation(init, update)
 
