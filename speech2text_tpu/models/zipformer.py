@@ -324,7 +324,8 @@ class AttentionWeights(nn.Module):
 
     def _scores(self, q, k, qp, p_rel):
         """q (B,Tq,H,qd), k (B,Tk,H,qd), qp (B,Tq,H,pd),
-        p_rel (Tq,Tk,H,pd) → softmax-ready scores (B,H,Tq,Tk)."""
+        p_rel (Tq,Tk,H,pd) → softmax-ready scores (B,H,Tq,Tk).
+        (streaming-step path; the training path uses `_rel_shift`)"""
         qd, pd = self.query_head_dim, self.pos_head_dim
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32)
@@ -334,20 +335,36 @@ class AttentionWeights(nn.Module):
         scores = scores + pos_scores / jnp.sqrt(jnp.float32(pd))
         return jnp.clip(scores, -100.0, 100.0)
 
+    @staticmethod
+    def _rel_shift(x):
+        """(B,H,T,2T−1) scores indexed by offset row r=(t−s)+(T−1) →
+        (B,H,T,T) scores[t,s] (Transformer-XL skew: reverse+pad+reshape+
+        slice). Replaces a (T,T,H,pd) table gather whose backward is a
+        scatter-add into the table — measured 67 ms encoder backward
+        (5.4× forward) with the gather vs ~2× with this form; every op
+        here is a layout move whose transpose is equally cheap."""
+        B, H, T, R = x.shape
+        x = x[..., ::-1]                       # index becomes s−t+(T−1)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))   # (B,H,T,2T)
+        x = x.reshape(B, H, T * 2 * T)
+        x = x[:, :, T - 1:T - 1 + T * R].reshape(B, H, T, R)
+        return x[..., :T]
+
     def __call__(self, x, pos_emb, attn_mask=None):
         B, T, D = x.shape
         H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
         q = self.q_proj(x).reshape(B, T, H, qd)
         k = self.k_proj(x).reshape(B, T, H, qd)
         qp = self.qpos_proj(x).reshape(B, T, H, pd)
-        # gather the batch-independent relative table BEFORE the einsum —
-        # never materializes a (B, H, T, 2T−1) tensor
         p = self.pos_proj(pos_emb).reshape(-1, H, pd)      # (2T−1, H, pd)
-        t_idx = jnp.arange(T)[:, None]
-        s_idx = jnp.arange(T)[None, :]
-        rel = (t_idx - s_idx) + (T - 1)
-        p_rel = p[rel]                                     # (T, T, H, pd)
-        scores = self._scores(q, k, qp, p_rel)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(qd))
+        rel_scores = jnp.einsum("bthd,rhd->bhtr", qp, p,
+                                preferred_element_type=jnp.float32)
+        scores = scores + self._rel_shift(rel_scores) / jnp.sqrt(
+            jnp.float32(pd))
+        scores = jnp.clip(scores, -100.0, 100.0)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
         return jax.nn.softmax(scores, axis=-1).astype(self.dtype)
