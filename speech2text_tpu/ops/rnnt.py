@@ -92,7 +92,7 @@ def lattice_forward(px: jnp.ndarray, py: jnp.ndarray, t_lens: jnp.ndarray,
 
     # diagonals d = 1 .. (T-1)+(U1-1)
     ds = jnp.arange(1, T + U1 - 1, dtype=jnp.int32)
-    (alpha, total), _ = lax.scan(step, (alpha, total), ds)
+    (alpha, total), _ = lax.scan(step, (alpha, total), ds, unroll=8)
     return total
 
 
