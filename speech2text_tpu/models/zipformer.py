@@ -337,19 +337,25 @@ class AttentionWeights(nn.Module):
 
     @staticmethod
     def _rel_shift(x):
-        """(B,H,T,2T−1) scores indexed by row j=(s−t)+(T−1) — i.e. the
+        """(T,2T−1,B,H) scores indexed by row j=(s−t)+(T−1) — i.e. the
         einsum must run against the offset-REVERSED table — → (B,H,T,T)
         scores[t,s] (Transformer-XL skew: pad+reshape+slice). Replaces a
         (T,T,H,pd) table gather whose backward is a scatter-add into the
         table — measured 67 ms encoder backward (5.4× forward) with the
-        gather vs ~2× with this form. The flip lives on the small
-        (2T−1,H,pd) table, not here: reversing the (B,H,T,2T−1) scores
-        cost 2.4 ms/step in relayouts on v5e."""
-        B, H, T, R = x.shape
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))   # (B,H,T,2T)
-        x = x.reshape(B, H, T * 2 * T)
-        x = x[:, :, T - 1:T - 1 + T * R].reshape(B, H, T, R)
-        return x[..., :T]
+        gather vs ~2× with this form.
+
+        Layout notes (v5e, measured): the skew axes must be MAJOR.
+        Skewing a (B,H,T,2T−1) tensor merges the two minor dims, which
+        crosses the (8,128) tile layout and relayouts ~190 MB twice per
+        layer (~11 ms/step at T=495); with (T,2T−1) leading, the
+        pad/reshape/slice are plain row reindexings and the single
+        transpose at the end is the only relayout. Likewise the offset
+        flip lives on the small (2T−1,H,pd) table, not the scores."""
+        T, R, B, H = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))   # (T,2T,B,H)
+        x = x.reshape(T * 2 * T, B, H)
+        x = x[T - 1:T - 1 + T * R].reshape(T, R, B, H)[:, :T]
+        return x.transpose(2, 3, 0, 1)                     # (B,H,T,T)
 
     def __call__(self, x, pos_emb, attn_mask=None):
         B, T, D = x.shape
@@ -362,7 +368,7 @@ class AttentionWeights(nn.Module):
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(qd))
         # offset-reversed table so row j = (s−t)+(T−1), as _rel_shift needs
-        rel_scores = jnp.einsum("bthd,rhd->bhtr", qp, p[::-1],
+        rel_scores = jnp.einsum("bthd,rhd->trbh", qp, p[::-1],
                                 preferred_element_type=jnp.float32)
         scores = scores + self._rel_shift(rel_scores) / jnp.sqrt(
             jnp.float32(pd))
