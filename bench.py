@@ -66,6 +66,11 @@ def main():
     # config.compilation_cache_dir stays None under the env var).
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # rbg PRNG: threefry dropout-key generation costs 7.3 ms/step on v5e
+    # (64.9 vs 72.2 ms measured); rbg is the TPU-recommended generator.
+    # Training defaults to the same (trainer.prng_impl in build_task).
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_PRNG", "rbg"))
 
     from __graft_entry__ import _build_model, _flagship_config
     from speech2text_tpu.data.frontend import Fbank, FbankConfig

@@ -51,6 +51,13 @@ def run_task(argv):
     seed = int(config.get("seed", 1234))
     random.seed(seed)
     np.random.seed(seed)
+    # rbg PRNG by default: threefry dropout-key generation costs
+    # ~7 ms/step on the v5e flagship (see bench.py); override with
+    # trainer.prng_impl: threefry for bit-reproducibility with older runs
+    import jax as _jax
+    _jax.config.update(
+        "jax_default_prng_impl",
+        (config.get("trainer", {}) or {}).get("prng_impl", "rbg"))
 
     config = spm_training_preprocess(config)
     # back up the RESOLVED config (post-spm-rewrite) so the workdir yaml is
