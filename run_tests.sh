@@ -13,5 +13,17 @@ cmake -S runtime -B runtime/build -G Ninja >/dev/null
 ninja -C runtime/build >/dev/null
 ctest --test-dir runtime/build --output-on-failure
 
+if [[ "${SANITIZE:-0}" != "0" ]]; then
+    echo "== C++ runtime (ASan+UBSan) =="
+    cmake -S runtime -B runtime/build-asan -G Ninja \
+        -DASR_RT_SANITIZE=address >/dev/null
+    ninja -C runtime/build-asan >/dev/null
+    ctest --test-dir runtime/build-asan --output-on-failure
+    cmake -S runtime -B runtime/build-ubsan -G Ninja \
+        -DASR_RT_SANITIZE=undefined >/dev/null
+    ninja -C runtime/build-ubsan >/dev/null
+    ctest --test-dir runtime/build-ubsan --output-on-failure
+fi
+
 echo "== multi-chip dry run (8 virtual devices) =="
 python __graft_entry__.py
