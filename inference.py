@@ -122,15 +122,25 @@ def run_inference(argv):
         if exp_cfg.get("export_int8", True):
             save_quantized(params, os.path.join(workdir, "weights.int8.npz"))
 
-    # ---- test loop with per-utterance report
+    # ---- test loop with per-utterance report; batch sharded over the
+    # mesh 'data' axis so an N-chip host decodes N× wide (the train step
+    # is pjit-sharded the same way — see train/loop.py)
+    from speech2text_tpu.parallel.mesh import (MeshConfig, batch_sharding,
+                                               make_mesh, replicated,
+                                               shard_batch)
+    mesh = make_mesh(MeshConfig())
+    task.data_config.batch_multiple = mesh.shape["data"]
     pipe = task.make_test_pipeline()
-    eval_fwd = jax.jit(task.eval_forward)
+    eval_fwd = jax.jit(task.eval_forward,
+                       in_shardings=(None, batch_sharding(mesh)),
+                       out_shardings=replicated(mesh))
     metric = AsrMetric()
     report_path = os.path.join(workdir, "test_report.txt")
-    with open(report_path, "w") as report:
+    with open(report_path, "w") as report, mesh:
         for batch in pipe:
             arrays = {k: v for k, v in batch.items()
                       if not isinstance(v, list)}
+            arrays = shard_batch(mesh, arrays)
             out = eval_fwd(params, arrays)
             hyps = task.eval_hyps(out, params)
             refs = batch["text"]

@@ -139,10 +139,21 @@ class BucketBatcher:
         return batches
 
     def __iter__(self) -> Iterator[tuple]:
-        epoch = 0
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[tuple]:
+        """Iterate from a global batch index (mid-epoch resume, reference
+        `trainer.fit(ckpt_path=...)` restores the full loop state,
+        build_task.py:147-148). The per-epoch batch count is constant
+        (bucket membership is fixed by duration), so a global index maps
+        statically to (epoch, offset); skipping replays only the cheap
+        index schedule, not audio loading."""
+        bpe = self.batches_per_epoch()
+        epoch, skip = divmod(max(int(start_batch), 0), bpe)
         while True:
-            for item in self.epoch_batches(epoch):
+            for item in self.epoch_batches(epoch)[skip:]:
                 yield item
+            skip = 0
             epoch += 1
 
     def batches_per_epoch(self) -> int:

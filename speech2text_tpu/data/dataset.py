@@ -166,9 +166,18 @@ class AsrPipeline:
         if self.need_noise and config.noise_data:
             self.noise_pool = NoisePool(config.noise_data, config.base_dir,
                                         sample_rate=config.sample_rate)
-        self._rng = np.random.default_rng(seed + 7919 * shard_index)
+        self._seed = seed
+        self._shard_index = shard_index
+        self._start_batch = 0
         self._pcm_cache: Dict[int, np.ndarray] = {}
         self._pcm_cache_used = 0
+
+    def skip_batches(self, n: int) -> None:
+        """Resume the pipeline at global batch index `n` (one batch per
+        trainer step). With augmentation RNG derived per (seed, shard,
+        global batch index) below, a resumed run sees exactly the batches
+        — indices AND augmentations — an uninterrupted run would."""
+        self._start_batch = max(int(n), 0)
 
     def _load_pcm(self, j: int) -> np.ndarray:
         cached = self._pcm_cache.get(j)
@@ -185,7 +194,8 @@ class AsrPipeline:
         return wav
 
     # ------------------------------------------------------------- loading
-    def _load_batch(self, bucket: int, idxs: List[int]) -> Dict[str, Any]:
+    def _load_batch(self, bucket: int, idxs: List[int],
+                    rng: np.random.Generator) -> Dict[str, Any]:
         spec = self.specs[bucket]
         B = len(idxs)
         int16 = self.cfg.pcm_dtype == "int16"
@@ -198,7 +208,7 @@ class AsrPipeline:
             e = self.entries[j]
             wav = self._load_pcm(j)
             if self.use_speed_perturb:
-                speed = _SPEEDS[self._rng.integers(0, len(_SPEEDS))]
+                speed = _SPEEDS[rng.integers(0, len(_SPEEDS))]
                 wav = speed_perturb(wav, speed)
             n = min(len(wav), spec.pcm_len)
             pcm[i, :n] = _quant16(wav[:n]) if int16 else wav[:n]
@@ -213,7 +223,7 @@ class AsrPipeline:
         batch = {"pcm": pcm, "pcm_length": pcm_len, "label": label,
                  "label_length": label_len}
         if self.noise_pool is not None:
-            npcm, nlen = self.noise_pool.sample_batch(self._rng, B)
+            npcm, nlen = self.noise_pool.sample_batch(rng, B)
             batch["noise_pcm"] = _quant16(npcm) if int16 else npcm
             batch["noise_length"] = nlen
         if self.keep_text:
@@ -224,18 +234,25 @@ class AsrPipeline:
     # ------------------------------------------------------------ iterators
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.training:
-            it = iter(self.batcher)
+            it = self.batcher.iter_from(self._start_batch)
+            start = self._start_batch
         else:
             it = iter(self.batcher.epoch_batches(0))
-        yield from self._prefetched(it)
+            start = 0
+        yield from self._prefetched(it, start)
 
-    def _prefetched(self, batch_iter) -> Iterator[Dict[str, Any]]:
+    def _prefetched(self, batch_iter, start_idx: int = 0
+                    ) -> Iterator[Dict[str, Any]]:
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
         END = object()
 
         def worker():
-            for b, idxs in batch_iter:
-                q.put(self._load_batch(b, idxs))
+            # augmentation rng is a pure function of (seed, shard, global
+            # batch index): resume-exact and multihost-distinct
+            for n, (b, idxs) in enumerate(batch_iter, start=start_idx):
+                rng = np.random.default_rng(
+                    (self._seed, self._shard_index, n))
+                q.put(self._load_batch(b, idxs, rng))
             q.put(END)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -270,7 +287,8 @@ class LmPipeline:
         assert self.seqs
         self.batch_size = batch_size
         self.training = training
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._start_batch = 0
         self._shard = shard_index
         self._num_shards = num_shards
         self.max_len = ((max(len(s) for s in self.seqs) + 1 + pad_multiple - 1)
@@ -298,7 +316,7 @@ class LmPipeline:
         """Multihost lockstep (same contract as BucketBatcher): every
         shard computes the same global batch sequence, then takes its
         slice of each batch — equal counts and shapes across hosts."""
-        order = np.random.default_rng(17 + epoch).permutation(
+        order = np.random.default_rng(self._seed + epoch).permutation(
             len(self.seqs))
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order) - self.batch_size + 1,
@@ -317,11 +335,18 @@ class LmPipeline:
             batches = sharded
         return batches
 
+    def skip_batches(self, n: int) -> None:
+        """Resume at global batch index `n` (mid-epoch resume; same
+        contract as AsrPipeline.skip_batches)."""
+        self._start_batch = max(int(n), 0)
+
     def __iter__(self):
-        epoch = 0
+        bpe = self.batches_per_epoch()
+        epoch, skip = divmod(self._start_batch if self.training else 0, bpe)
         while True:
-            for idxs in self._epoch_batches(epoch):
+            for idxs in self._epoch_batches(epoch)[skip:]:
                 yield self._make_batch(idxs)
             if not self.training:
                 return
+            skip = 0
             epoch += 1

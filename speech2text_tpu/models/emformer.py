@@ -236,6 +236,17 @@ class Emformer(nn.Module):
                                        chunk_feats.shape[1],
                                        jnp.int32))
         B, C, _ = h.shape
+        if use_mem and C != cfg.segment_length:
+            # The memory bank emits ONE summary per segment during training;
+            # a chunk spanning k>1 segments would get a single mean over all
+            # k (and `count * C` cache arithmetic assumes constant C),
+            # silently diverging from the training-time mask.  Require
+            # exact segment-sized chunks when the bank is on (reference
+            # torchaudio Emformer has the same contract).
+            raise ValueError(
+                f"streaming_step chunk is {C} post-subsample frames but "
+                f"max_memory_size>0 requires exactly segment_length="
+                f"{cfg.segment_length} frames per step")
         L = cfg.left_context_length
         # validity of cached frames / bank slots given `count` prior steps
         n_cached = jnp.minimum(count * C, L)                    # (B,)

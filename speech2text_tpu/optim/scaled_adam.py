@@ -155,8 +155,16 @@ def scaled_adam(
                      else jnp.square(state.param_rms[gi]))
                 tot = tot + jnp.sum(sumsq * w)
             gnorm = jnp.sqrt(tot)
+            # Non-finite grads: the reference (_get_clipping_scale,
+            # :481-499) turns a NaN clip ratio into ans=0.0 and zeroes the
+            # grads — a momentum-decay-only step — so one bad batch cannot
+            # poison delta/exp_avg_sq/params.  Keep the bad norm out of the
+            # ring buffer too (a stored NaN/inf would corrupt every later
+            # median), by re-writing the slot's previous value.
+            finite = jnp.isfinite(gnorm)
             idx = jnp.mod(step, norm_buffer_size)
-            buf = state.norm_buffer.at[idx].set(gnorm)
+            buf = state.norm_buffer.at[idx].set(
+                jnp.where(finite, gnorm, state.norm_buffer[idx]))
             n_valid = jnp.minimum(step + 1, norm_buffer_size)
             sorted_buf = jnp.sort(
                 jnp.where(jnp.arange(norm_buffer_size) < n_valid,
@@ -168,6 +176,7 @@ def scaled_adam(
             limit = jnp.where(step < norm_buffer_size, 2.0 * limit, limit)
             clip = jnp.minimum(1.0, limit / jnp.maximum(gnorm, 1e-12))
             clip = jnp.where(step < 10, 1.0, clip)
+            clip = jnp.where(finite, clip, 0.0)
         else:
             buf = state.norm_buffer
             clip = jnp.asarray(1.0, jnp.float32)
@@ -184,7 +193,9 @@ def scaled_adam(
             reductions run over the remaining axes. Identical math to the
             per-leaf form (oracle-tested)."""
             axes = grp_axes(g)
-            g = g * clip
+            # clip == 0.0 marks a non-finite batch: zero the grads outright
+            # (inf * 0 is NaN, so a plain multiply would not sanitize).
+            g = jnp.where(clip > 0.0, g * clip, jnp.zeros_like(g))
             d = beta1 * d                              # delta.mul_(beta1)
             if scalar_grp:
                 # _step_scalar: plain Adam, scaled lr, param clamp

@@ -124,14 +124,34 @@ class AsrTaskBase:
         (e.g. a wav2vec2 msgpack from tools/convert_wav2vec2.py), merge it
         over the random init — the reference constructs its encoder from HF
         pretrained weights directly (model/encoder/wav2vec2.py:25-43)."""
-        path = (self.config.get("encoder", {}).get("config", {})
-                or {}).get("pretrained_path")
+        enc_cfg = (self.config.get("encoder", {}).get("config", {}) or {})
+        path = enc_cfg.get("pretrained_path")
         if not path:
             return params
         from flax import serialization
         with open(path, "rb") as f:
             tree = serialization.msgpack_restore(f.read())
-        tree.pop("__layout__", None)
+        layout = tree.pop("__layout__", None)
+        if layout is not None:
+            # Pre-norm ("stable") and post-norm wav2vec2 layouts have
+            # identical param names AND shapes, so a silent merge of the
+            # wrong variant would load cleanly and compute garbage.
+            # Validate the converter's recorded layout against the model
+            # config before merging (HF guards this via config.json; see
+            # reference model/encoder/wav2vec2.py:25-43).
+            want = {
+                "num_layers": int(enc_cfg.get("num_layers", 12)),
+                "do_stable_layer_norm": int(
+                    bool(enc_cfg.get("do_stable_layer_norm", False))),
+                "feat_extract_norm": int(
+                    enc_cfg.get("feat_extract_norm", "group") == "layer"),
+            }
+            for k, expect in want.items():
+                if k in layout and int(layout[k]) != expect:
+                    raise ValueError(
+                        f"pretrained checkpoint layout mismatch: {k} is "
+                        f"{int(layout[k])} in {path} but the encoder "
+                        f"config expects {expect}")
         enc = dict(params["encoder"])
 
         def merge(dst, src, where):

@@ -163,7 +163,10 @@ class TestEmformerMemoryBank:
         states = m.init_state(1)
         n = self.CFG.num_layers
         assert len(states) == 2 * n + 1  # caches + banks + counter
-        chunks = [x[:, i:i + 16] for i in range(0, 96, 16)]
+        # 19 raw frames subsample to exactly segment_length=4 post-conv
+        # frames ((T-3)//2+1 twice); the memory bank requires exact
+        # segment-sized chunks (one summary per segment, as in training)
+        chunks = [x[:, i:i + 19] for i in range(0, 114, 19)]
         outs = []
         for c in chunks:
             o, states = m.apply({"params": params}, c, states,
