@@ -91,6 +91,10 @@ def main():
     scan = os.environ.get("BENCH_SCAN", "0") != "0"
     cfg = _flagship_config(vocab, dtype=dtype, remat=remat)
     cfg["encoder"]["config"]["scan_layers"] = scan
+    # fused Pallas attention (no (B,H,T,T) tensors on forward); BENCH_FLASH
+    # toggles for A/B — see ops/pallas/flash_attn.py
+    cfg["encoder"]["config"]["use_flash_attn"] = \
+        os.environ.get("BENCH_FLASH", "0") != "0"
     model = _build_model(cfg)
     # NOTE: any commit that changes the traced step (model/optimizer/loss)
     # invalidates the persistent-cache entries for init_all and run_k; the

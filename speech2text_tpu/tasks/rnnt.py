@@ -113,6 +113,13 @@ class BaseRnntTask(AsrTaskBase):
             def lm_init(batch_size):
                 return lm_model.init_state(batch_size)
 
+        # int8 quantized decode execution (reference rnnt_task.py:753-809
+        # runs its exported ONNX dynamically int8-quantized; here the same
+        # scheme executes on the MXU — see quant.py). Built lazily at
+        # first eval_hyps because it snapshots the weights.
+        self._int8_decode = bool(metric_cfg.get("int8", False))
+        self._int8_session = None
+        self._int8_max_token_step = int(metric_cfg.get("max_token_step", 1))
         method = metric_cfg.get("decode_method", "rnnt_greedy_search")
         if method == "rnnt_beam_search":
             self.decode_session = RnntBeamDecoding(
@@ -196,6 +203,18 @@ class BaseRnntTask(AsrTaskBase):
                 "val_loss": jnp.zeros(())}
 
     def eval_hyps(self, eval_out, params=None) -> List[str]:
+        if self._int8_decode:
+            if self._int8_session is None:
+                from ..quant import Int8RnntGreedyDecoding
+                assert self.config["predictor"]["model"] == "Stateless", \
+                    "int8 decode currently supports the Stateless predictor"
+                self._int8_session = Int8RnntGreedyDecoding(
+                    self.tokenizer, params,
+                    self.config["predictor"].get("config", {}),
+                    self.config["joiner"],
+                    max_token_step=self._int8_max_token_step)
+            return self._int8_session.decode(None, eval_out["enc"],
+                                             eval_out["enc_lens"])
         return self.decode_session.decode(params, eval_out["enc"],
                                           eval_out["enc_lens"])
 

@@ -1,0 +1,129 @@
+"""Int8 quantized EXECUTION: the int8 predictor/joiner step functions match
+the fp32 modules within quantization tolerance, the saved artifact
+reproduces the live-quantized path exactly, and the int8 greedy session
+decodes through the task surface."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech2text_tpu.export import quantize_params, save_quantized
+from speech2text_tpu.models.joiner import Joiner, JoinerConfig
+from speech2text_tpu.models.predictor import (StatelessPredictor,
+                                              StatelessPredictorConfig)
+from speech2text_tpu.quant import (Int8Joiner, Int8RnntGreedyDecoding,
+                                   Int8StatelessPredictor, flat_qtree,
+                                   quant_dense)
+
+V, D, E = 48, 64, 96
+
+
+@pytest.fixture(scope="module")
+def modules():
+    pred_cfg = StatelessPredictorConfig(num_symbols=V, output_dim=D,
+                                        symbol_embedding_dim=E,
+                                        context_size=3)
+    join_cfg = JoinerConfig(input_dim=D, output_dim=V, inner_dim=32,
+                            use_out_project=True)
+    pred = StatelessPredictor(pred_cfg)
+    join = Joiner(join_cfg)
+    kp, kj = jax.random.split(jax.random.PRNGKey(0))
+    p_pred = pred.init(kp, jnp.zeros((1, 4), jnp.int32))["params"]
+    p_join = join.init(kj, jnp.zeros((1, 7, D)), jnp.asarray([7]),
+                       jnp.zeros((1, 5, D)), jnp.asarray([4]),
+                       jnp.ones((1, 4), jnp.int32))["params"]
+    return pred, join, {"predictor": p_pred, "joiner": p_join}
+
+
+def test_quant_dense_error_bound():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (8, 128))
+    w = jax.random.normal(k2, (128, 64)) * 0.1
+    flat = flat_qtree({"m": {"kernel": w}}, min_size=1)
+    y_q = quant_dense(x, flat["m/kernel"], None)
+    y = x @ w
+    rel = float(jnp.abs(y_q - y).max() / jnp.abs(y).max())
+    assert rel < 0.02, rel
+
+
+def test_int8_predictor_matches_fp32(modules):
+    pred, _, params = modules
+    qt = flat_qtree(params, min_size=1)
+    ip = Int8StatelessPredictor(qt, context_size=3)
+    token = jnp.asarray([3, 17])
+    state = pred.init_state(2)
+    out_f, st_f = pred.apply({"params": params["predictor"]}, token, state,
+                             method=StatelessPredictor.streaming_step)
+    out_q, st_q = ip.step(None, token, state)
+    np.testing.assert_array_equal(np.asarray(st_f), np.asarray(st_q))
+    scale = float(jnp.abs(out_f).max())
+    assert float(jnp.abs(out_f - out_q).max()) < 0.05 * max(scale, 1.0)
+
+
+def test_int8_joiner_matches_fp32(modules):
+    _, join, params = modules
+    qt = flat_qtree(params, min_size=1)
+    ij = Int8Joiner(qt, use_out_project=True)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (3, D))
+    pre = jax.random.normal(jax.random.PRNGKey(3), (3, D))
+    lp_f = join.apply({"params": params["joiner"]}, enc, pre,
+                      method=Joiner.streaming_step)
+    lp_q = ij.step(None, enc, pre)
+    assert float(jnp.abs(lp_f - lp_q).max()) < 0.08
+
+
+def test_artifact_reproduces_live_quant(modules, tmp_path):
+    _, _, params = modules
+
+    class Tok:
+        def decode(self, ids):
+            return " ".join(str(i) for i in np.asarray(ids))
+
+    enc_out = jax.random.normal(jax.random.PRNGKey(4), (2, 11, D))
+    enc_lens = jnp.asarray([11, 7])
+    mk = lambda src: Int8RnntGreedyDecoding(
+        Tok(), src, {"context_size": 3},
+        {"use_out_project": True}, max_tokens=16, min_size=1)
+    live = mk(params).decode(None, enc_out, enc_lens)
+    path = tmp_path / "w.int8.npz"
+    save_quantized(params, str(path), min_size=1)
+    from_file = mk({k: v for k, v in np.load(str(path)).items()})
+    # note: save/load must round-trip the exact int8 payloads
+    assert from_file.decode(None, enc_out, enc_lens) == live
+
+
+def test_int8_task_decode_surface():
+    """`metric.int8: true` routes task eval_hyps through the int8 session
+    end-to-end (encoder fp32, predictor/joiner int8)."""
+    from speech2text_tpu.tasks import TaskFactory
+    cfg = {
+        "tokenizer": {"type": "char", "config": {}},
+        "dataset": {"feat_type": "lhotes_fbank",
+                    "feat_config": {"num_mel_bins": 80},
+                    "data_aug_config": {}},
+        "metric": {"decode_method": "rnnt_greedy_search", "int8": True},
+        "encoder": {"model": "Conformer", "config": {
+            "feats_dim": 80, "subsampling_rate": 4, "input_dim": 32,
+            "num_heads": 2, "ffn_dim": 64, "num_layers": 1,
+            "output_dim": 32, "dropout": 0.0}},
+        "decoder": {"model": "Identity", "config": {"dummy": -1}},
+        "predictor": {"model": "Stateless", "config": {
+            "num_symbols": 31, "output_dim": 32,
+            "symbol_embedding_dim": 32, "context_size": 2}},
+        "joiner": {"input_dim": 32, "output_dim": 31, "prune_range": 3,
+                   "use_out_project": False},
+        "loss": {"model": "Pruned_Rnnt", "config": {}},
+    }
+    task = TaskFactory("Pruned_Rnnt")(cfg)
+    params = task.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {"pcm": jnp.asarray(rng.standard_normal((2, 8000)) * 0.1,
+                                jnp.float32),
+             "pcm_length": jnp.full((2,), 8000, jnp.int32),
+             "label": jnp.ones((2, 4), jnp.int32),
+             "label_length": jnp.full((2,), 4, jnp.int32)}
+    out = task.eval_forward(params, batch)
+    hyps = task.eval_hyps(out, params)
+    assert isinstance(hyps, list) and len(hyps) == 2
+    assert task._int8_session is not None
