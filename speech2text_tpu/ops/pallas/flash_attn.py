@@ -54,6 +54,7 @@ def _round_up(x: int, m: int) -> int:
 # ----------------------------------------------------------------- kernel
 def _attend_kernel(const_ref, q_ref, k_ref, qp_ref, p_ref, m_ref, v_ref,
                    o_ref, *, qd: int, pd: int, w_dtype):
+    b = pl.program_id(2)                           # batch = innermost grid
     q = q_ref[0]                                   # (TQ, qd)
     k = k_ref[0]                                   # (Tp, qd)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -66,7 +67,7 @@ def _attend_kernel(const_ref, q_ref, k_ref, qp_ref, p_ref, m_ref, v_ref,
     s = jnp.clip(s, -100.0, 100.0)
     # const-attention (reference zipformer.py:1143-1155): uniform weights
     # over the allowed positions — equivalent to softmax of 0-where-allowed
-    s = jnp.where(const_ref[0, 0] != 0, 0.0, s)
+    s = jnp.where(const_ref[b, 0] != 0, 0.0, s)
     s = jnp.where(m_ref[0], s, _NEG)               # chunk/pad mask
     smax = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - smax)
@@ -109,7 +110,9 @@ def _flash_forward(q, k, qp, p, v, mask, const_row, w_dtype):
         interpret=(jax.default_backend() != "tpu"),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda h, i, b: (b, 0),
+            # whole (B,1) flag vector in SMEM (a (1,1) block fails the
+            # TPU (8,128) block-tiling rule); kernel indexes program_id
+            pl.BlockSpec((B, 1), lambda h, i, b: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TQ, qd), lambda h, i, b: (b * H + h, i, 0)),
             pl.BlockSpec((1, Tp, qd), lambda h, i, b: (b * H + h, 0, 0)),

@@ -41,7 +41,8 @@ class CtcTask(AsrTaskBase):
         method = metric_cfg.get("decode_method", "ctc_greedy_search")
         if method == "ctc_prefix_beam_search":
             self.decode_session = CtcPrefixBeamDecoding(
-                self.tokenizer, beam_size=metric_cfg.get("beam_size", 8))
+                self.tokenizer, beam_size=metric_cfg.get("beam_size", 8),
+                cand_size=metric_cfg.get("cand_size", 8))
         elif method == "ctc_lexicon_beam_search":
             # deployment-grade lexicon(+ARPA LM) beam via the C++ runtime
             # (reference decoding.py:85-154 flashlight path); lexicon from

@@ -64,6 +64,48 @@ class TestCtcGreedy:
         sess = CtcPrefixBeamDecoding(TOK, beam_size=4)
         assert sess.decode(lp[None], np.asarray([5])) == ["abc"]
 
+    def test_prefix_beam_matches_numpy_oracle(self):
+        """Jitted batched prefix beam ≡ host dict-based oracle on random
+        soft logits. V=6 ≤ the oracle's per-frame shortlist (max(2·beam,
+        8)) and cand_size=V, so both see the full vocabulary and the two
+        recursions coincide exactly (same merges, same top-K mass)."""
+        rng = np.random.default_rng(7)
+        V, B, T = 6, 5, 12
+        lp = np.log(rng.dirichlet(np.ones(V), size=(B, T))
+                    .astype(np.float32))
+        lens = np.asarray([12, 1, 7, 3, 12])
+
+        class IdTok:
+            def decode(self, ids):
+                return " ".join(str(int(i)) for i in ids)
+
+        sess = CtcPrefixBeamDecoding(IdTok(), beam_size=4, cand_size=V)
+        got = sess.decode(lp, lens)
+        want = [sess._decode_one_numpy(lp[b, :lens[b]]) for b in range(B)]
+        assert got == want
+
+    def test_prefix_beam_merges_duplicate_prefixes(self):
+        """Two paths to the same prefix ("a·a" via blank vs "a" repeat …)
+        must merge mass: soft logits where greedy (argmax per frame) and
+        summed-prefix-mass disagree. The classic case: blank-dominated
+        frames whose non-blank mass all belongs to one token — prefix
+        beam must return that token, greedy returns empty."""
+        V = len(TOK)
+        a = TOK.encode("a").tolist()[0]
+        lp = np.full((1, 3, V), -12.0, np.float32)
+        # each frame: p(blank)=0.48, p(a)=0.40 split across paths,
+        # rest tiny — per-frame argmax is blank, but total mass of
+        # prefix "a" (emitted in any frame, others blank) exceeds the
+        # all-blank path's 0.48³.
+        lp[0, :, 0] = np.log(0.48)
+        lp[0, :, a] = np.log(0.40)
+        greedy = CtcGreedyDecoding(TOK).decode(
+            jnp.asarray(lp), jnp.asarray([3]))
+        beam = CtcPrefixBeamDecoding(TOK, beam_size=4).decode(
+            lp, np.asarray([3]))
+        assert greedy == [""]
+        assert beam == ["a"]
+
 
 def fake_rnnt_sessions(V, beam=False, **kw):
     """Fake predictor/joiner: predictor state = last token embedding-free;
