@@ -95,6 +95,11 @@ def main():
     # toggles for A/B — see ops/pallas/flash_attn.py
     cfg["encoder"]["config"]["use_flash_attn"] = \
         os.environ.get("BENCH_FLASH", "0") != "0"
+    # bf16 attention-score einsum outputs (f32 clip/mask/softmax
+    # unchanged) — measured 64.0 → 58.3 ms/step (microbench, v5e); see
+    # AttentionWeights.score_dtype. BENCH_SCORE_DTYPE=float32 to A/B back.
+    cfg["encoder"]["config"]["score_dtype"] = \
+        os.environ.get("BENCH_SCORE_DTYPE", "bfloat16")
     model = _build_model(cfg)
     # NOTE: any commit that changes the traced step (model/optimizer/loss)
     # invalidates the persistent-cache entries for init_all and run_k; the

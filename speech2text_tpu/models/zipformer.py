@@ -314,6 +314,12 @@ class AttentionWeights(nn.Module):
     pos_head_dim: int
     pos_dim: int
     dtype: jnp.dtype = jnp.float32
+    # dtype of the two big score einsum OUTPUTS on the training path (the
+    # (B,H,T,T) content scores and the (T,2T−1,B,H) rel-pos tensor — the
+    # largest HBM tensors in the step). bf16 halves their traffic through
+    # the rel-shift reindex + transpose; the add/clip/mask/softmax still
+    # run in f32 (upcast fuses into the consumer, costing no extra HBM).
+    score_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
@@ -373,14 +379,16 @@ class AttentionWeights(nn.Module):
         B, T, D = x.shape
         qd, pd = self.query_head_dim, self.pos_head_dim
         q, k, qp, p = self.project(x, pos_emb)
+        sd = self.score_dtype
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(qd))
+                            preferred_element_type=sd)
+        scores = scores / jnp.sqrt(sd(qd))
         # offset-reversed table so row j = (s−t)+(T−1), as _rel_shift needs
         rel_scores = jnp.einsum("bthd,rhd->trbh", qp, p[::-1],
-                                preferred_element_type=jnp.float32)
-        scores = scores + self._rel_shift(rel_scores) / jnp.sqrt(
-            jnp.float32(pd))
+                                preferred_element_type=sd)
+        scores = (scores.astype(jnp.float32)
+                  + self._rel_shift(rel_scores).astype(jnp.float32)
+                  / jnp.sqrt(jnp.float32(pd)))
         scores = jnp.clip(scores, -100.0, 100.0)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
@@ -619,12 +627,13 @@ class Zipformer2EncoderLayer(nn.Module):
     # fused Pallas attention: scores recomputed per consumer in-kernel, no
     # (B,H,T,T) tensors materialized on the forward (ops/pallas/flash_attn)
     flash: bool = False
+    score_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         D = self.embed_dim
         self.attn_weights = AttentionWeights(
             D, self.num_heads, self.query_head_dim, self.pos_head_dim,
-            self.pos_dim, self.dtype)
+            self.pos_dim, self.dtype, score_dtype=self.score_dtype)
         self.ff1 = FeedforwardModule(self.ff_dim * 3 // 4, self.dtype)
         self.nonlin_attn = NonlinAttention(D, D * 3 // 4, self.dtype)
         self.self_attn1 = SelfAttention(D, self.num_heads,
@@ -843,13 +852,14 @@ class Zipformer2Stack(nn.Module):
     dynamics: bool = False
     scan_layers: bool = False
     flash: bool = False
+    score_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         layer_args = (self.embed_dim, self.ff_dim, self.num_heads,
                       self.query_head_dim, self.value_head_dim,
                       self.pos_head_dim, self.pos_dim, self.kernel_size,
                       self.causal, self.dropout, self.dtype, self.dynamics,
-                      self.flash)
+                      self.flash, self.score_dtype)
         if self.scan_layers and self.num_layers > 1:
             body = _ScanLayer
             if self.remat:
@@ -1028,6 +1038,10 @@ class Zipformer2Config:
     # chunk-masked flash attention; streaming .step keeps the materialized
     # path — its windows are small). Same math, tolerance-tested.
     use_flash_attn: bool = False
+    # "bfloat16" halves HBM traffic of the two big attention-score
+    # tensors (einsum outputs) while keeping clip/mask/softmax in f32 —
+    # see AttentionWeights.score_dtype. f32 default = bit-exact legacy.
+    score_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, cfg: dict) -> "Zipformer2Config":
@@ -1073,6 +1087,8 @@ class Zipformer2(nn.Module):
                 dynamics=cfg.dynamics,
                 scan_layers=cfg.scan_layers,
                 flash=cfg.use_flash_attn,
+                score_dtype=(jnp.bfloat16 if cfg.score_dtype == "bfloat16"
+                             else jnp.float32),
                 name=f"stack{i}")
             for i in range(len(cfg.encoder_dim))
         ]

@@ -199,3 +199,18 @@ def test_remat_dynamics_traced_step_grad():
         total = jax.tree_util.tree_reduce(
             lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
         assert np.isfinite(total) and total > 0
+
+
+def test_score_dtype_bf16_close_to_f32(setup):
+    """score_dtype="bfloat16" only changes the dtype the two score
+    einsums write (clip/mask/softmax stay f32); the encoder output must
+    stay close to the f32 path, and the param tree must be identical."""
+    import dataclasses
+    m, x, lens, params = setup
+    m16 = Zipformer2(dataclasses.replace(TINY, score_dtype="bfloat16"))
+    out32, l32 = m.apply({"params": params}, x, lens)
+    out16, l16 = m16.apply({"params": params}, x, lens)
+    np.testing.assert_array_equal(np.asarray(l32), np.asarray(l16))
+    denom = np.abs(np.asarray(out32)).max() + 1e-9
+    rel = np.abs(np.asarray(out32) - np.asarray(out16)).max() / denom
+    assert rel < 3e-2, rel
