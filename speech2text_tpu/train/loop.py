@@ -42,15 +42,21 @@ def _rss_gb() -> float:
 class Trainer:
 
     def __init__(self, task, config: Dict[str, Any], workdir: str,
-                 seed: int = 17, mesh=None, fsdp: bool = False):
+                 seed: int = 17, mesh=None, fsdp: bool | None = None):
         self.task = task
         self.config = config
         tcfg = config.get("trainer", {}) or {}
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         self.seed = seed
-        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
-        self.fsdp = fsdp
+        if mesh is None:
+            # YAML-configurable mesh (reference `Trainer(gpus=…)` analogue):
+            #   trainer.mesh: {data: -1, model: 1}   (-1 = all remaining)
+            mcfg = tcfg.get("mesh") or {}
+            mesh = make_mesh(MeshConfig(data=int(mcfg.get("data", -1)),
+                                        model=int(mcfg.get("model", 1))))
+        self.mesh = mesh
+        self.fsdp = bool(tcfg.get("fsdp", False)) if fsdp is None else fsdp
 
         tx, self.schedule = OptimSetup(config["optim_setup"])
         clip_val = tcfg.get("gradient_clip_val")

@@ -72,3 +72,22 @@ def test_fit_smoke_and_rss_guard(tmp_path):
     assert any(c.startswith("step_") for c in ckpts), ckpts
     # the guard fired before max_steps completed
     assert any("step_00000001" in c for c in ckpts), ckpts
+
+def test_trainer_mesh_fsdp_from_yaml(tmp_path):
+    """trainer.mesh / trainer.fsdp YAML keys configure the device mesh
+    (the reference's `Trainer(gpus=…, strategy=…)` analogue)."""
+    from speech2text_tpu.tasks import TaskFactory
+    from speech2text_tpu.train.loop import Trainer
+
+    workdir = str(tmp_path / "meshcfg")
+    cfg = _config(workdir, mesh={"data": 4, "model": 2}, fsdp=True)
+    task = TaskFactory("CTC")(cfg)
+    trainer = Trainer(task, cfg, workdir, seed=0)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    assert trainer.fsdp is True
+    # explicit constructor args still win over YAML
+    from speech2text_tpu.parallel.mesh import MeshConfig, make_mesh
+    m = make_mesh(MeshConfig(data=8, model=1))
+    trainer2 = Trainer(task, cfg, workdir, seed=0, mesh=m, fsdp=False)
+    assert dict(trainer2.mesh.shape) == {"data": 8, "model": 1}
+    assert trainer2.fsdp is False
