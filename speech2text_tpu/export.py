@@ -103,6 +103,69 @@ def export_asr_modules(task, params, export_dir: str,
     return out
 
 
+def export_streaming_session(session, export_dir: str,
+                             batch_size: int = 1) -> Dict[str, str]:
+    """Serialize a full `StreamingAsrSession` deployment path to portable
+    StableHLO: one module for the prime chunk, one for every later chunk.
+
+    Each module covers raw PCM → streaming fbank → CMVN → zipformer
+    streaming prime/step → greedy transducer continuation — the complete
+    per-chunk serving graph (the reference ships this path as three
+    separate ONNX graphs plus host-side Python glue, reference
+    task_factory/rnnt_task.py:753-809; here the glue is inside the graph).
+
+    Params are arguments (not baked), so the same artifact serves any
+    checkpoint of the architecture — including int8-dequantized trees.
+    A `streaming_spec.json` records chunk arithmetic and the state
+    pytree layout so a serving host can allocate/wire state without
+    importing this package.
+    """
+    import json
+
+    os.makedirs(export_dir, exist_ok=True)
+    out: Dict[str, str] = {}
+    B = batch_size
+
+    state0 = session.init_state(B)
+    prime_pcm = jnp.zeros((B, session.prime_samples), jnp.float32)
+    path = os.path.join(export_dir, "stream_prime.stablehlo")
+    _serialize(lambda p, pcm, st: session._chunk_fn(p, pcm, st, prime=True),
+               (session.params, prime_pcm, state0), path)
+    out["prime"] = path
+
+    state1 = jax.eval_shape(
+        lambda p, pcm, st: session._chunk_fn(p, pcm, st, prime=True),
+        session.params, prime_pcm, state0)
+    step_pcm = jnp.zeros((B, session.step_samples), jnp.float32)
+    path = os.path.join(export_dir, "stream_step.stablehlo")
+    _serialize(lambda p, pcm, st: session._chunk_fn(p, pcm, st, prime=False),
+               (session.params,
+                step_pcm,
+                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), state1)),
+               path)
+    out["step"] = path
+
+    def spec(tree):
+        return jax.tree.map(
+            lambda s: {"shape": list(s.shape), "dtype": str(s.dtype)},
+            jax.eval_shape(lambda t: t, tree))
+
+    spec_path = os.path.join(export_dir, "streaming_spec.json")
+    with open(spec_path, "w") as f:
+        json.dump({
+            "batch_size": B,
+            "chunk_size": session.chunk,
+            "left_context_chunks": session.left_chunks,
+            "prime_samples": session.prime_samples,
+            "step_samples": session.step_samples,
+            "max_tokens": session.cap,
+            "init_state": spec(state0),
+            "state_after_prime": spec(state1),
+        }, f, indent=1, default=str)
+    out["spec"] = spec_path
+    return out
+
+
 # ---------------------------------------------------------------- int8 quant
 def quantize_params(params, min_size: int = 1024):
     """Symmetric per-output-channel int8 weights-only quantization.
