@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--left_chunks", type=int, default=4)
     ap.add_argument("--avg_best_k", type=int, default=2)
     ap.add_argument("--checkpoints_dir", default=None)
+    ap.add_argument("--export_dir", default=None,
+                    help="also serialize the per-chunk serving graph "
+                         "(prime/step StableHLO + streaming_spec.json)")
     args = ap.parse_args()
 
     from speech2text_tpu.config import load_config
@@ -54,6 +57,11 @@ def main() -> None:
 
     sess = StreamingAsrSession(task, params, chunk_size=args.chunk_size,
                                left_context_chunks=args.left_chunks)
+    if args.export_dir:
+        from speech2text_tpu.export import export_streaming_session
+        paths = export_streaming_session(sess, args.export_dir)
+        print(f"serving graph exported: {paths}")
+
     chunk_ms = sess.step_samples / 16.0  # 16 kHz → ms of audio per chunk
     print(f"chunk = {sess.step_samples} samples ({chunk_ms:.0f} ms audio), "
           f"prime = {sess.prime_samples} samples")
