@@ -392,7 +392,9 @@ class AttentionWeights(nn.Module):
         scores = jnp.clip(scores, -100.0, 100.0)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
-        return jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        from ..stopgrad_probe import tag
+        return tag(jax.nn.softmax(scores, axis=-1).astype(self.dtype),
+                   "attn_weights")
 
     def step(self, x_chunk, pos_emb_table, cached_k, valid_cache):
         """Streaming: queries = chunk (C), keys = [cache (L) | chunk].
@@ -705,12 +707,14 @@ class Zipformer2EncoderLayer(nn.Module):
                 wc = (na_w > 0).astype(na_w.dtype)
                 wc = wc / jnp.maximum(wc.sum(-1, keepdims=True), 1e-9)
                 na_w = jnp.where(use_const, wc, na_w)
+        from ..stopgrad_probe import tag
         src = x
-        x = x + self.ff1(x, deterministic, self.dropout)
+        x = x + tag(self.ff1(x, deterministic, self.dropout), "ff")
         na = (self.nonlin_attn.flash_call(x, proj, attn_mask, const_row,
                                           dyn_step=(s if dyn else None))
               if self.flash
               else self.nonlin_attn(x, na_w, dyn_step=(s if dyn else None)))
+        na = tag(na, "nonlin")
         if dyn:
             na = balancer(na, 0.3, 0.7,
                           min_abs=ScheduledFloat((0.0, 0.004),
@@ -719,12 +723,12 @@ class Zipformer2EncoderLayer(nn.Module):
             x = x + na * m_attn
         else:
             x = x + na
-        sa1 = (self.self_attn1.flash_call(x, proj, attn_mask)
-               if self.flash else self.self_attn1(x, attn_w))
+        sa1 = tag(self.self_attn1.flash_call(x, proj, attn_mask)
+                  if self.flash else self.self_attn1(x, attn_w), "selfattn")
         x = x + (sa1 * m_attn if dyn else sa1)
-        c1 = self.conv1(x, pad_mask)
+        c1 = tag(self.conv1(x, pad_mask), "conv")
         x = x + (c1 * m_conv1 if dyn else c1)
-        f2 = self.ff2(x, deterministic, self.dropout)
+        f2 = tag(self.ff2(x, deterministic, self.dropout), "ff")
         if dyn:
             f2 = balancer(f2, 0.3, 0.7,
                           min_abs=ScheduledFloat((0.0, 0.0),
@@ -735,12 +739,12 @@ class Zipformer2EncoderLayer(nn.Module):
             x = x + f2
         x = (self.bypass_mid(src, x, scale_min=bypass_min) if dyn
              else self.bypass_mid(src, x))
-        sa2 = (self.self_attn2.flash_call(x, proj, attn_mask)
-               if self.flash else self.self_attn2(x, attn_w))
+        sa2 = tag(self.self_attn2.flash_call(x, proj, attn_mask)
+                  if self.flash else self.self_attn2(x, attn_w), "selfattn")
         x = x + (sa2 * m_attn if dyn else sa2)
-        c2 = self.conv2(x, pad_mask)
+        c2 = tag(self.conv2(x, pad_mask), "conv")
         x = x + (c2 * m_conv2 if dyn else c2)
-        f3 = self.ff3(x, deterministic, self.dropout)
+        f3 = tag(self.ff3(x, deterministic, self.dropout), "ff")
         if dyn:
             f3 = balancer(f3, 0.3, 0.7,
                           min_abs=ScheduledFloat((0.0, 0.0),
@@ -1114,6 +1118,8 @@ class Zipformer2(nn.Module):
                  step: Optional[jnp.ndarray] = None):
         cfg = self.config
         x, lens = self.embed(feats, lengths)
+        from ..stopgrad_probe import tag
+        x = tag(x, "frontend")
         B, T, _ = x.shape
 
         if not deterministic and cfg.feature_mask_dropout_prob > 0:

@@ -44,6 +44,8 @@ class RnntModel(nn.Module):
                 left_context_chunks=left_context_chunks, step=step)
         else:
             enc, enc_lens = self.encoder(feats, feat_lens, deterministic)
+        from ..stopgrad_probe import tag
+        enc = tag(enc, "encoder")
         dec, dec_lens = self.decoder(enc, enc_lens, deterministic)
         pred = self.predictor(labels)
         logits, ranges, simple_loss = self.joiner(
