@@ -210,7 +210,17 @@ class Conv2dSubsampling(nn.Module):
     boundary error) and `stream_step` takes `2c` raw frames per chunk,
     carrying an 8-raw-frame tail + 6-sub-frame ConvNeXt cache. Outputs are
     bit-identical to `__call__` on the whole stream (the zero-initialized
-    ConvNeXt cache coincides with the causal `__call__`'s left padding)."""
+    ConvNeXt cache coincides with the causal `__call__`'s left padding).
+
+    Perf note (v5e, measured — do NOT re-attempt): reformulating these
+    small-channel convs as MXU matmuls LOSES to XLA's native conv
+    lowering at the full-step level, even though standalone piece
+    timings suggest otherwise. Banded-matmul conv1 (C_in=1): 48.6 →
+    47.4 ms/step as plain nn.Conv; space-to-depth conv2 + 9-tap-matmul
+    conv3: 47.4 → 51.6 ms/step. im2col with strided slices is ~10×
+    worse still. Sub-frontend stop-grad ablation numbers carry ±5 ms
+    fusion artifacts (docs/evidence/backprof_r3_lattice.json) — trust
+    only full-step A/Bs here."""
     out_dim: int
     mid_channels: int = 32
     dtype: jnp.dtype = jnp.float32
@@ -233,14 +243,17 @@ class Conv2dSubsampling(nn.Module):
         self.out_norm = BiasNorm(self.dtype)
 
     def _stack(self, x):  # (B, T, F) → (B, (T−9)//2+1, F2, C)
+        from ..stopgrad_probe import tag
         h = x[..., None].astype(self.dtype)
-        h = swoosh_r(self.conv1(h))
-        h = swoosh_r(self.conv2(h))
-        return swoosh_r(self.conv3(h))
+        h = tag(swoosh_r(self.conv1(h)), "sub_conv1")
+        h = tag(swoosh_r(self.conv2(h)), "sub_conv2")
+        return tag(swoosh_r(self.conv3(h)), "sub_conv3")
 
     def _head(self, h):  # (B, T2, F2, C) → (B, T2, out_dim)
+        from ..stopgrad_probe import tag
         B, T2, F2, C = h.shape
-        return self.out_norm(self.out(h.reshape(B, T2, F2 * C)))
+        return self.out_norm(self.out(tag(h, "sub_convnext").reshape(
+            B, T2, F2 * C)))
 
     @staticmethod
     def freq_dim(feature_dim: int) -> int:

@@ -67,19 +67,21 @@ def ctc_forward(
     # positions beyond 2*label_len are invalid
     valid_s = s_idx[None, :] < (2 * label_lengths[:, None] + 1)
 
-    # per-step emission scores: gather lp[t, z[s]] lazily inside the scan
-    batch_idx = jnp.arange(B)[:, None]
+    # emission scores lp[b,t,z[b,s]] for ALL t as ONE one-hot contraction
+    # (z is time-invariant): an MXU matmul forward, a dense matmul
+    # backward — the per-step (B,S) gather it replaces made the training
+    # backward T sequential scatter-adds into (B,V)
+    emit_all = jnp.einsum("btv,bsv->bts", log_probs,
+                          jax.nn.one_hot(z, V, dtype=log_probs.dtype))
 
     alpha0 = jnp.full((B, S), NEG_INF)
-    lp0 = log_probs[:, 0]                                    # (B, V)
-    alpha0 = alpha0.at[:, 0].set(lp0[:, blank])
+    alpha0 = alpha0.at[:, 0].set(log_probs[:, 0, blank])
     alpha0 = alpha0.at[:, 1].set(
-        jnp.where(label_lengths > 0, lp0[batch_idx[:, 0], z[:, 1]], NEG_INF))
+        jnp.where(label_lengths > 0, emit_all[:, 0, 1], NEG_INF))
     alpha0 = jnp.where(valid_s, alpha0, NEG_INF)
 
-    def step(alpha, lp_t_and_t):
-        lp_t, t = lp_t_and_t
-        emit = lp_t[batch_idx, z]                            # (B, S)
+    def step(alpha, emit_and_t):
+        emit, t = emit_and_t                                 # (B, S)
         a_m1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG_INF)[:, :S]
         a_m2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG_INF)[:, :S]
         new = _logaddexp(alpha, a_m1)
@@ -91,7 +93,8 @@ def ctc_forward(
         return jnp.where(active, new, alpha), None
 
     ts = jnp.arange(1, T, dtype=jnp.int32)
-    alpha_T, _ = lax.scan(step, alpha0, (log_probs[:, 1:].swapaxes(0, 1), ts), unroll=8)
+    alpha_T, _ = lax.scan(step, alpha0,
+                          (emit_all[:, 1:].swapaxes(0, 1), ts), unroll=8)
 
     end1 = 2 * label_lengths          # final blank
     end2 = 2 * label_lengths - 1      # final label

@@ -96,9 +96,12 @@ def rnnt_loss_smoothed(
                        preferred_element_type=jnp.float32)
     norm = jnp.log(jnp.maximum(joint, 1e-37)) + am_max + lm_max.swapaxes(1, 2)
 
-    am_y = jnp.take_along_axis(am, symbols[:, None, :], axis=2)  # (B,T,U)
-    lm_y = jnp.take_along_axis(
-        lm[:, :U], symbols[:, :, None], axis=2)[..., 0]          # (B,U)
+    # label-logit picks as one-hot contractions (MXU matmul fwd, dense
+    # outer-product bwd — a take_along_axis here costs a scatter-add
+    # into (B,T,C) on every training backward)
+    sym_oh = jax.nn.one_hot(symbols, C, dtype=am.dtype)          # (B,U,C)
+    am_y = jnp.einsum("btv,buv->btu", am, sym_oh)                # (B,T,U)
+    lm_y = jnp.einsum("buv,buv->bu", lm[:, :U], sym_oh)          # (B,U)
     px_joint = am_y + lm_y[:, None, :] - norm[:, :, :U]          # (B,T,U)
     py_joint = (am[:, :, termination_symbol, None]
                 + lm[:, None, :, termination_symbol] - norm)     # (B,T,U+1)
@@ -107,13 +110,12 @@ def rnnt_loss_smoothed(
     px, py = w * px_joint, w * py_joint
     if lm_only_scale > 0.0:
         lm_ls = jax.nn.log_softmax(lm, axis=-1)
-        px_lm = jnp.take_along_axis(
-            lm_ls[:, :U], symbols[:, :, None], axis=2)[..., 0]
+        px_lm = jnp.einsum("buv,buv->bu", lm_ls[:, :U], sym_oh)
         px = px + lm_only_scale * px_lm[:, None, :]
         py = py + lm_only_scale * lm_ls[:, None, :, termination_symbol]
     if am_only_scale > 0.0:
         am_ls = jax.nn.log_softmax(am, axis=-1)
-        px_am = jnp.take_along_axis(am_ls, symbols[:, None, :], axis=2)
+        px_am = jnp.einsum("btv,buv->btu", am_ls, sym_oh)
         px = px + am_only_scale * px_am
         py = py + am_only_scale * jnp.broadcast_to(
             am_ls[:, :, None, termination_symbol], py.shape)
@@ -200,8 +202,10 @@ def do_rnnt_pruning(
     idx = jnp.minimum(ranges[:, :, None] + jnp.arange(s_range,
                                                       dtype=jnp.int32),
                       U1 - 1)                                   # (B,T,r)
-    lm_pruned = jnp.take_along_axis(lm[:, None, :, :],
-                                    idx[:, :, :, None], axis=2)
+    # one-hot contraction (MXU): a take_along_axis here makes the training
+    # backward a scatter-add of the (B,T,r,E) cotangent into (B,U1,E)
+    lm_pruned = jnp.einsum("btru,bue->btre",
+                           jax.nn.one_hot(idx, U1, dtype=lm.dtype), lm)
     return am_pruned, lm_pruned
 
 
@@ -229,7 +233,10 @@ def rnnt_loss_pruned(
     y_at = jnp.take_along_axis(
         jnp.pad(symbols.astype(jnp.int32), ((0, 0), (0, 1))),
         jnp.minimum(u_abs, U).reshape(B, -1), axis=1).reshape(B, T, R)
-    px = jnp.take_along_axis(lp, y_at[..., None], axis=3)[..., 0]
+    # label log-prob pick as a one-hot contraction: the backward is then
+    # a dense outer product instead of a scatter-add into (B,T,R,V)
+    px = jnp.einsum("btrv,btrv->btr", lp,
+                    jax.nn.one_hot(y_at, V, dtype=lp.dtype))
     px = jnp.where(u_abs < u_lens[:, None, None], px, NEG_INF)  # (B,T,R)
     py = lp[..., termination_symbol]                            # (B,T,R)
 
@@ -248,24 +255,30 @@ def rnnt_loss_pruned(
 
     def step(carry, xs):
         alpha, total = carry
-        px_t, py_prev, py_now, d, r_t, t = xs
-        # blank arcs from frame t-1: prev window position k' = k + d
-        k_prev = k_off[None, :] + d[:, None]                    # (B,R)
-        src = jnp.take_along_axis(alpha + py_prev,
-                                  jnp.minimum(k_prev, R - 1), axis=1)
-        base = jnp.where(k_prev < R, src, NEG_INF)
+        px_t, py_prev, py_now, d_oh, end_oh, t = xs
+        # blank arcs from frame t-1: prev window position k' = k + d,
+        # realized gather-free as a one-hot mix of the R static left
+        # shifts of (alpha + py_prev) (d < s_range by range validity)
+        x = alpha + py_prev                                     # (B,R)
+        shifts = jnp.stack(
+            [jnp.concatenate(
+                [x[:, j:], jnp.full((B, j), NEG_INF, x.dtype)], axis=1)
+             for j in range(R)])                                # (R,B,R)
+        base = jnp.einsum("jbk,bj->bk", shifts, d_oh)
         new = emit_row(base, px_t)
         new = jnp.where((t < t_lens)[:, None], new, alpha)
-        k_end = jnp.clip(u_lens - r_t, 0, R - 1)[:, None]
-        cand = jnp.take_along_axis(new + py_now, k_end, axis=1)[:, 0]
+        cand = jnp.sum((new + py_now) * end_oh, axis=1)
         total = jnp.where(t == t_lens - 1, cand, total)
         return (new, total), None
 
     d = ranges[:, 1:] - ranges[:, :-1]                          # (B, T-1)
+    d_oh = jax.nn.one_hot(d, R, dtype=py.dtype)                 # (B,T-1,R)
+    end_oh = jax.nn.one_hot(jnp.clip(u_lens[:, None] - ranges[:, 1:],
+                                     0, R - 1), R, dtype=py.dtype)
     ts = jnp.arange(1, T, dtype=jnp.int32)
     xs = (px[:, 1:].swapaxes(0, 1), py[:, :-1].swapaxes(0, 1),
-          py[:, 1:].swapaxes(0, 1), d.swapaxes(0, 1),
-          ranges[:, 1:].swapaxes(0, 1), ts)
+          py[:, 1:].swapaxes(0, 1), d_oh.swapaxes(0, 1),
+          end_oh.swapaxes(0, 1), ts)
     (_, total), _ = lax.scan(step, (alpha, total), xs, unroll=8)
     nll = -total
     nll = jnp.where(nll >= -NEG_INF / 2, 0.0, nll)  # infeasible → 0

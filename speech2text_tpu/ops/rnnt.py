@@ -38,6 +38,22 @@ def _logaddexp(a, b):
     return jnp.where(both_inf, NEG_INF, out)
 
 
+def _skew_diag(a_u: jnp.ndarray) -> jnp.ndarray:
+    """(B, U1, T) row-major → (B, U1, D) diagonal-major, D = T+U1-1:
+    out[b, u, d] = a_u[b, u, d-u] when 0 ≤ d-u < T, NEG_INF otherwise.
+
+    Pure pad+reshape (the Transformer-XL skew): pad each row to width
+    T+U1 then drop the last column of the flattened view — row u lands
+    shifted right by u. Out-of-range slots on BOTH sides fall into the
+    NEG_INF pad region (for d-u < 0 the flat index u*(T+U1-1)+d wraps
+    into row u-1's pad, which is ≥ T wide)."""
+    B, U1, T = a_u.shape
+    W = T + U1
+    flat = jnp.pad(a_u, ((0, 0), (0, 0), (0, U1)),
+                   constant_values=NEG_INF).reshape(B, U1 * W)
+    return flat[:, :U1 * (W - 1)].reshape(B, U1, W - 1)
+
+
 def lattice_forward(px: jnp.ndarray, py: jnp.ndarray, t_lens: jnp.ndarray,
                     u_lens: jnp.ndarray) -> jnp.ndarray:
     """Wavefront forward DP over the (T, U+1) transducer lattice.
@@ -46,7 +62,17 @@ def lattice_forward(px: jnp.ndarray, py: jnp.ndarray, t_lens: jnp.ndarray,
     py: (B, T, U+1) blank arc (t,u)→(t+1,u) log-prob
     Returns total path log-prob (B,), path ending with blank at
     (t_lens-1, u_lens). Cells beyond u_lens are excluded via px masking.
-    """
+
+    The arc tensors are pre-skewed to diagonal-major layout once
+    (`_skew_diag`) so the scan body consumes plain `xs` slices — no
+    per-step gathers forward, no scatter-adds backward (the occupancy
+    vjp in ops/pruned_rnnt.py runs this backward on EVERY training
+    forward, so the bwd scan's cost is on the step critical path).
+    Out-of-lattice diagonal slots carry NEG_INF pad; sums of two such
+    pads (≈ -2e30) stay finite in f32 and `_logaddexp` clamps anything
+    ≤ NEG_INF back to exactly NEG_INF, so junk never reaches valid
+    cells (an out-of-range (t≥T, u) cell can only feed further
+    out-of-range cells)."""
     B, T, U = px.shape
     U1 = U + 1
     t_lens = t_lens.astype(jnp.int32)
@@ -54,45 +80,40 @@ def lattice_forward(px: jnp.ndarray, py: jnp.ndarray, t_lens: jnp.ndarray,
 
     u_idx = jnp.arange(U1, dtype=jnp.int32)                    # (U1,)
     px = jnp.where(u_idx[None, None, :U] < u_lens[:, None, None], px, NEG_INF)
-    # layout (B, U1, T) so per-diagonal time gathers are along the last axis
+    # [b,u,t] = px[t,u-1] (emit INTO state u); u=0 row unreachable
     px_u = jnp.pad(px, ((0, 0), (0, 0), (1, 0)),
-                   constant_values=NEG_INF).swapaxes(1, 2)     # [b,u,t]=px[t,u-1]
-    py_u = py.swapaxes(1, 2)                                   # [b,u,t]
+                   constant_values=NEG_INF).swapaxes(1, 2)     # (B,U1,T)
+    py_u = py.swapaxes(1, 2)                                   # (B,U1,T)
+    px_d = _skew_diag(px_u)                                    # (B,U1,D)
+    py_d = _skew_diag(py_u)
 
     alpha = jnp.full((B, U1), NEG_INF).at[:, 0].set(0.0)       # diagonal d=0
     d_end = t_lens - 1 + u_lens
     # capture total for sequences whose final cell is (0, 0)
     total0 = py_u[:, 0, 0]
     total = jnp.where(d_end == 0, total0, NEG_INF)
+    fin_onehot = (u_idx[None, :] == u_lens[:, None]).astype(px.dtype)
 
-    def step(carry, d):
+    def step(carry, xs):
         alpha, total = carry
-        t_cur = d - u_idx                                      # (U1,)
-        # blank arrival from (t_cur-1, u): prev diagonal, same u
-        tb = t_cur - 1
-        py_in = jnp.take_along_axis(
-            py_u, jnp.clip(tb, 0, T - 1)[None, :, None], axis=2)[..., 0]
-        a_blank = jnp.where((tb >= 0)[None, :] & (t_cur < T)[None, :],
-                            alpha + py_in, NEG_INF)
-        # emit arrival from (t_cur, u-1): prev diagonal, u-1
+        py_prev, px_cur, py_cur, d = xs
+        # blank arrival from (t-1, u) = diagonal d-1, same u
+        a_blank = alpha + py_prev
+        # emit arrival from (t, u-1) = diagonal d-1, u-1
         a_shift = jnp.pad(alpha, ((0, 0), (1, 0)),
                           constant_values=NEG_INF)[:, :U1]
-        px_in = jnp.take_along_axis(
-            px_u, jnp.clip(t_cur, 0, T - 1)[None, :, None], axis=2)[..., 0]
-        a_emit = jnp.where(((t_cur >= 0) & (t_cur < T))[None, :],
-                           a_shift + px_in, NEG_INF)
+        a_emit = a_shift + px_cur
         new = _logaddexp(a_blank, a_emit)
         # capture total at each sequence's final cell (t_lens-1, u_lens)
-        py_fin = jnp.take_along_axis(
-            py_u, jnp.clip(t_cur, 0, T - 1)[None, :, None], axis=2)[..., 0]
-        cand_vec = new + py_fin                                # (B, U1)
-        cand = jnp.take_along_axis(cand_vec, u_lens[:, None], axis=1)[:, 0]
+        cand = jnp.sum((new + py_cur) * fin_onehot, axis=1)
         total = jnp.where(d == d_end, cand, total)
         return (new, total), None
 
-    # diagonals d = 1 .. (T-1)+(U1-1)
+    # diagonals d = 1 .. (T-1)+(U1-1); xs sliced from the skewed tensors
     ds = jnp.arange(1, T + U1 - 1, dtype=jnp.int32)
-    (alpha, total), _ = lax.scan(step, (alpha, total), ds, unroll=8)
+    xs = (py_d.transpose(2, 0, 1)[:-1], px_d.transpose(2, 0, 1)[1:],
+          py_d.transpose(2, 0, 1)[1:], ds)
+    (alpha, total), _ = lax.scan(step, (alpha, total), xs, unroll=8)
     return total
 
 
@@ -108,9 +129,10 @@ def rnnt_alpha(
     B, T, U1, V = log_probs.shape
     U = U1 - 1
     tgt = targets.astype(jnp.int32)
-    # px[b,t,u] = lp[b,t,u,y_{u+1}] (emit from state u), u in 0..U-1
-    px = jnp.take_along_axis(log_probs[:, :, :U],
-                             tgt[:, None, :, None], axis=3)[..., 0]
+    # px[b,t,u] = lp[b,t,u,y_{u+1}] (emit from state u), u in 0..U-1 —
+    # one-hot contraction so the backward is dense, not a scatter-add
+    px = jnp.einsum("btuv,buv->btu", log_probs[:, :, :U],
+                    jax.nn.one_hot(tgt, V, dtype=log_probs.dtype))
     py = log_probs[..., blank]
     total = lattice_forward(px, py, logit_lengths, target_lengths)
     return -total

@@ -84,24 +84,33 @@ def main():
     params, feats, feat_lens = init_all(jax.random.PRNGKey(0))
     log("params initialized")
 
+    # BACKPROF_DROPOUT=1 re-times with training-mode dropout active
+    # (deterministic=False + per-step key), isolating the RNG/mask cost
+    # that the default deterministic fwd_bwd timing hides.
+    dropout = os.environ.get("BACKPROF_DROPOUT", "0") != "0"
+
     def make_fwd_bwd(variant):
-        def lf(p, c):
+        def lf(p, c, key):
+            kw = ({"deterministic": False, "rngs": {"dropout": key}}
+                  if dropout else {})
             with stopgrad_probe.ablate(variant):
                 out = model.apply({"params": p}, feats + c * 1e-30,
-                                  feat_lens, labels, lab_lens)
+                                  feat_lens, labels, lab_lens, **kw)
             pruned = loss_obj({"logits": out["logits"],
                                "ranges": out["ranges"],
                                "logits_length": out["enc_lens"],
                                "label": labels, "label_length": lab_lens})
             return 0.5 * out["simple_loss"] + 0.5 * pruned
 
-        def body(c):
-            loss, grads = jax.value_and_grad(lf)(params, c)
-            return loss + optax.global_norm(grads) * 1e-30
+        def body(c, key):
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(lf)(params, c, sub)
+            return loss + optax.global_norm(grads) * 1e-30, key
 
         @jax.jit
         def run(c0):
-            return lax.fori_loop(0, k, lambda i, c: body(c), c0)
+            return lax.fori_loop(0, k, lambda i, ck: body(*ck),
+                                 (c0, jax.random.PRNGKey(7)))[0]
 
         return run
 
