@@ -344,7 +344,7 @@ class AttentionWeights(nn.Module):
     def _scores(self, q, k, qp, p_rel):
         """q (B,Tq,H,qd), k (B,Tk,H,qd), qp (B,Tq,H,pd),
         p_rel (Tq,Tk,H,pd) → softmax-ready scores (B,H,Tq,Tk).
-        (streaming-step path; the training path uses `_rel_shift`)"""
+        (streaming-step path; training uses `_toeplitz_windows`)"""
         qd, pd = self.query_head_dim, self.pos_head_dim
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32)
@@ -354,27 +354,20 @@ class AttentionWeights(nn.Module):
         scores = scores + pos_scores / jnp.sqrt(jnp.float32(pd))
         return jnp.clip(scores, -100.0, 100.0)
 
-    @staticmethod
-    def _rel_shift(x):
-        """(T,2T−1,B,H) scores indexed by row j=(s−t)+(T−1) — i.e. the
-        einsum must run against the offset-REVERSED table — → (B,H,T,T)
-        scores[t,s] (Transformer-XL skew: pad+reshape+slice). Replaces a
-        (T,T,H,pd) table gather whose backward is a scatter-add into the
-        table — measured 67 ms encoder backward (5.4× forward) with the
-        gather vs ~2× with this form.
-
-        Layout notes (v5e, measured): the skew axes must be MAJOR.
-        Skewing a (B,H,T,2T−1) tensor merges the two minor dims, which
-        crosses the (8,128) tile layout and relayouts ~190 MB twice per
-        layer (~11 ms/step at T=495); with (T,2T−1) leading, the
-        pad/reshape/slice are plain row reindexings and the single
-        transpose at the end is the only relayout. Likewise the offset
-        flip lives on the small (2T−1,H,pd) table, not the scores."""
-        T, R, B, H = x.shape
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))   # (T,2T,B,H)
-        x = x.reshape(T * 2 * T, B, H)
-        x = x[T - 1:T - 1 + T * R].reshape(T, R, B, H)[:, :T]
-        return x.transpose(2, 3, 0, 1)                     # (B,H,T,T)
+    # History of the rel-pos score path (v5e, all measured — the current
+    # form is `_toeplitz_windows` + direct einsum in `__call__`):
+    # 1. (T,T,H,pd) table GATHER: backward is a scatter-add into the
+    #    table — 67 ms encoder backward (5.4× forward). Rejected.
+    # 2. Transformer-XL skew (einsum "bthd,rhd->trbh" + pad/reshape/
+    #    slice/transpose): skew axes must be MAJOR — skewing
+    #    (B,H,T,2T−1) merges the minor dims, crossing the (8,128) tile
+    #    layout and relayouting ~190 MB twice per layer (~11 ms/step at
+    #    T=495); with (T,2T−1) leading it was the round-2 winner. Its
+    #    remaining cost: the (T,2T−1,B,H) intermediate + its relayouts,
+    #    forward AND backward. (ops/pallas/flash_attn.py keeps its own
+    #    copy of this skew for the fused kernel's backward.)
+    # 3. Current: materialize the batch-free (T,T,H,pd) Toeplitz window
+    #    tensor instead and contract it directly into (B,H,T,T).
 
     def project(self, x, pos_emb):
         """Shared projections (q, k, qp, p) — consumed either by the
@@ -388,6 +381,23 @@ class AttentionWeights(nn.Module):
         p = self.pos_proj(pos_emb).reshape(-1, H, pd)      # (2T−1, H, pd)
         return q, k, qp, p
 
+    @staticmethod
+    def _toeplitz_windows(p_rev, T):
+        """(2T−1, H, pd) offset-reversed table → (T, T, H, pd) with
+        out[t, s] = p_rev[(s−t)+(T−1)], built gather-free: broadcast the
+        table to T identical rows of width 2T, flatten, and re-read with
+        row stride 2T+1 — each row lands shifted one slot further
+        (i = t'·(2T+1)+s ≡ t'+s mod 2T), giving sliding windows
+        V[t', s] = p_rev[t'+s]; the target is V flipped on t' = T−1−t.
+        t'+s ≤ 2T−2 always indexes real table rows, never pad."""
+        H, pd = p_rev.shape[1], p_rev.shape[2]
+        buf = jnp.pad(p_rev, ((0, 1), (0, 0), (0, 0)))        # (2T, H, pd)
+        flat = jnp.broadcast_to(buf[None], (T, 2 * T, H, pd))
+        flat = flat.reshape(T * 2 * T, H, pd)
+        flat = jnp.pad(flat, ((0, T), (0, 0), (0, 0)))
+        v = flat[:T * (2 * T + 1)].reshape(T, 2 * T + 1, H, pd)[:, :T]
+        return v[::-1]
+
     def __call__(self, x, pos_emb, attn_mask=None):
         B, T, D = x.shape
         qd, pd = self.query_head_dim, self.pos_head_dim
@@ -396,11 +406,16 @@ class AttentionWeights(nn.Module):
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=sd)
         scores = scores / jnp.sqrt(sd(qd))
-        # offset-reversed table so row j = (s−t)+(T−1), as _rel_shift needs
-        rel_scores = jnp.einsum("bthd,rhd->trbh", qp, p[::-1],
+        # pos scores via a batch-free (T,T,H,pd) Toeplitz window tensor:
+        # same 4-term dot per element as the old einsum+skew route, but
+        # the (T,2T−1,B,H) intermediate and its pad/slice/transpose
+        # relayouts (the step's biggest HBM tensors after the content
+        # scores) never exist, forward or backward.
+        p2 = self._toeplitz_windows(p[::-1], T)
+        pos_scores = jnp.einsum("bthd,tshd->bhts", qp, p2,
                                 preferred_element_type=sd)
         scores = (scores.astype(jnp.float32)
-                  + self._rel_shift(rel_scores).astype(jnp.float32)
+                  + pos_scores.astype(jnp.float32)
                   / jnp.sqrt(jnp.float32(pd)))
         scores = jnp.clip(scores, -100.0, 100.0)
         if attn_mask is not None:

@@ -18,7 +18,7 @@ tensors are what this removes — the known B=32 HBM cliff is score-tensor
 residency.
 
 Rel-pos handling: scores[t,s] += qp[t] · p[(t−s)+(T−1)] (the Transformer-XL
-skew in models/zipformer.py:_rel_shift). In-kernel per-row diagonal
+skew, kept locally as `_rel_shift` below). In-kernel per-row diagonal
 extraction is slow on TPU (round-2 negative result), so the caller builds a
 batch-independent Toeplitz tensor P[h, d, t, s] = p[(t−s)+T−1, h, d] once
 per layer (15.7 MB f32 at T=495 — 1/6th of ONE bf16 weight tensor) and the
@@ -131,7 +131,10 @@ def _flash_forward(q, k, qp, p, v, mask, const_row, w_dtype):
 
 # ------------------------------------------------- XLA oracle (backward)
 def _rel_shift(x):
-    """(T,2T−1,B,H) → (B,H,T,T); see models/zipformer.py:_rel_shift."""
+    """(T,2T−1,B,H) → (B,H,T,T) Transformer-XL skew (pad+reshape+slice;
+    row j = (s−t)+(T−1), so the einsum runs on the offset-REVERSED
+    table). Same math as the Toeplitz-window form the training path now
+    uses (models/zipformer.py:AttentionWeights._toeplitz_windows)."""
     T, R, B, H = x.shape
     x = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))
     x = x.reshape(T * 2 * T, B, H)
