@@ -55,9 +55,14 @@ def run_task(argv):
     # ~7 ms/step on the v5e flagship (see bench.py); override with
     # trainer.prng_impl: threefry for bit-reproducibility with older runs
     import jax as _jax
-    _jax.config.update(
-        "jax_default_prng_impl",
-        (config.get("trainer", {}) or {}).get("prng_impl", "rbg"))
+    trainer_cfg = config.get("trainer", {}) or {}
+    _jax.config.update("jax_default_prng_impl",
+                       trainer_cfg.get("prng_impl", "rbg"))
+    # trainer.platform: cpu pins the host backend (smoke/CI runs beside a
+    # busy TPU). NOTE the JAX_PLATFORMS env var is ignored by the axon
+    # plugin; this config update is the only reliable pin.
+    if trainer_cfg.get("platform"):
+        _jax.config.update("jax_platforms", str(trainer_cfg["platform"]))
 
     config = spm_training_preprocess(config)
     # back up the RESOLVED config (post-spm-rewrite) so the workdir yaml is

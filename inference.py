@@ -51,6 +51,10 @@ def run_inference(argv):
         override(infer_cfg, key, value)
 
     task_section = infer_cfg["task"]
+    # task.platform: cpu pins the host backend (the JAX_PLATFORMS env var
+    # is ignored by the axon plugin; only this config update works)
+    if task_section.get("platform"):
+        jax.config.update("jax_platforms", str(task_section["platform"]))
     workdir = task_section["export_path"]
     os.makedirs(workdir, exist_ok=True)
     init_logging(os.path.join(workdir, "inference.log"))

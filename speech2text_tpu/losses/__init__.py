@@ -46,11 +46,12 @@ class CtcLoss:
 class RnntLossConfig:
     blank_label: int = 0
     reduction: str = "mean"
-    clamp: float = -1.0  # torchaudio API parity; <0 disables
+    clamp: float = -1.0  # clip per-utt logits-gradients to ±clamp; <0 off
 
 
 class RnntLoss:
-    """Parity: reference model/loss/rnnt_loss.py:21-45."""
+    """Parity: reference model/loss/rnnt_loss.py:21-45 (incl. `clamp`:
+    per-utterance logits-gradient clipping, torchaudio semantics)."""
 
     def __init__(self, config: RnntLossConfig):
         self._cfg = config
@@ -59,7 +60,8 @@ class RnntLoss:
         return rnnt_loss(batch["logits"], batch["label"],
                          batch["logits_length"], batch["label_length"],
                          blank=self._cfg.blank_label,
-                         reduction=self._cfg.reduction)
+                         reduction=self._cfg.reduction,
+                         clamp=self._cfg.clamp)
 
     def predict(self, logits: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.log_softmax(logits, axis=-1)

@@ -138,6 +138,47 @@ def rnnt_alpha(
     return -total
 
 
+def _nll_from_logits(logits, targets, logit_lengths, target_lengths, blank):
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return rnnt_alpha(log_probs, targets, logit_lengths, target_lengths,
+                      blank=blank)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _rnnt_nll_clamped(logits, targets, logit_lengths, target_lengths,
+                      blank, clamp):
+    """Per-utterance NLL whose logits-gradients are clipped to
+    [-clamp, clamp] — torchaudio RNNTLoss `clamp` semantics (reference
+    model/loss/rnnt_loss.py:17,28): the C++ kernel clamps the gradients of
+    the UNREDUCED per-utterance losses w.r.t. the raw logits, and any
+    reduction scale (e.g. 1/B for "mean") multiplies in afterwards.
+    Since logits[b] only affects nll[b], that is exactly
+    clip(d nll_b / d logits_b) · ḡ_b."""
+    return _nll_from_logits(logits, targets, logit_lengths, target_lengths,
+                            blank)
+
+
+def _clamped_fwd(logits, targets, logit_lengths, target_lengths, blank,
+                 clamp):
+    nll = _nll_from_logits(logits, targets, logit_lengths, target_lengths,
+                           blank)
+    return nll, (logits, targets, logit_lengths, target_lengths)
+
+
+def _clamped_bwd(blank, clamp, res, g):
+    logits, targets, logit_lengths, target_lengths = res
+    _, vjp = jax.vjp(
+        lambda l: _nll_from_logits(l, targets, logit_lengths,
+                                   target_lengths, blank), logits)
+    (raw,) = vjp(jnp.ones_like(g))                  # d(Σ nll)/d logits
+    raw = jnp.clip(raw, -clamp, clamp)
+    g_full = raw * g.reshape(g.shape + (1,) * (logits.ndim - 1))
+    return (g_full.astype(logits.dtype), None, None, None)
+
+
+_rnnt_nll_clamped.defvjp(_clamped_fwd, _clamped_bwd)
+
+
 def rnnt_loss(
     logits: jnp.ndarray,          # (B, T, U+1, V) raw logits
     targets: jnp.ndarray,
@@ -145,11 +186,18 @@ def rnnt_loss(
     target_lengths: jnp.ndarray,
     blank: int = 0,
     reduction: str = "mean",
+    clamp: float = -1.0,
 ) -> jnp.ndarray:
-    """Transducer loss on raw logits (fp32 lattice, fused log_softmax)."""
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = rnnt_alpha(log_probs, targets, logit_lengths, target_lengths,
-                     blank=blank)
+    """Transducer loss on raw logits (fp32 lattice, fused log_softmax).
+
+    clamp >= 0 clips the per-utterance logits-gradients to [-clamp, clamp]
+    (torchaudio parity; <0 disables — the default)."""
+    if clamp is not None and clamp >= 0:
+        nll = _rnnt_nll_clamped(logits, targets, logit_lengths,
+                                target_lengths, blank, float(clamp))
+    else:
+        nll = _nll_from_logits(logits, targets, logit_lengths,
+                               target_lengths, blank)
     if reduction == "none":
         return nll
     if reduction == "sum":

@@ -177,6 +177,14 @@ class BaseRnntTask(AsrTaskBase):
                                 deterministic=True)
 
     # ------------------------------------------------------------ evaluation
+    def eval_loss_metrics(self, out, batch) -> Dict[str, jnp.ndarray]:
+        """Per-task validation losses (reference rnnt_task.py logs
+        val_loss and per-branch losses in validation_step, e.g.
+        :283,415-417,497-505). Overridden by each concrete task; the
+        train loop averages every 0-d scalar returned by eval_forward,
+        so checkpoint top-k can monitor `val_loss` on RNN-T tasks."""
+        return {"val_loss": jnp.zeros(())}
+
     def eval_forward(self, params, batch):
         feats, feat_lens = self.featurize(batch, None, training=False)
         metric_cfg = self.config.get("metric", {}) or {}
@@ -197,24 +205,39 @@ class BaseRnntTask(AsrTaskBase):
                 enc, enc_lens = self.model.apply(
                     {"params": params}, feats, feat_lens,
                     deterministic=True, method=RnntModel.encode)
-        else:
-            enc, enc_lens = self.model.apply({"params": params}, feats,
-                                             feat_lens, deterministic=True,
-                                             method=RnntModel.encode)
-        return {"enc": enc, "enc_lens": enc_lens,
-                "val_loss": jnp.zeros(())}
+            return {"enc": enc, "enc_lens": enc_lens}
+        # full forward (predictor + joiner) so real validation losses are
+        # computable; the encoder output is reused for decoding
+        out = self.model.apply({"params": params}, feats, feat_lens,
+                               batch["label"], batch["label_length"],
+                               deterministic=True)
+        return {"enc": out["enc"], "enc_lens": out["enc_lens"],
+                **self.eval_loss_metrics(out, batch)}
 
     def eval_hyps(self, eval_out, params=None) -> List[str]:
         if self._int8_decode:
             if self._int8_session is None:
-                from ..quant import Int8RnntGreedyDecoding
-                assert self.config["predictor"]["model"] == "Stateless", \
-                    "int8 decode currently supports the Stateless predictor"
-                self._int8_session = Int8RnntGreedyDecoding(
-                    self.tokenizer, params,
-                    self.config["predictor"].get("config", {}),
-                    self.config["joiner"],
-                    max_token_step=self._int8_max_token_step)
+                from ..quant import (Int8RnntBeamDecoding,
+                                     Int8RnntGreedyDecoding)
+                metric_cfg = self.config.get("metric", {}) or {}
+                common = dict(
+                    predictor_model=self.config["predictor"]["model"],
+                    min_size=int(metric_cfg.get("int8_min_size", 1024)))
+                if (metric_cfg.get("decode_method", "rnnt_greedy_search")
+                        == "rnnt_beam_search"):
+                    self._int8_session = Int8RnntBeamDecoding(
+                        self.tokenizer, params,
+                        self.config["predictor"].get("config", {}),
+                        self.config["joiner"],
+                        beam_size=int(metric_cfg.get("beam_size", 4)),
+                        cutoff_top_k=int(metric_cfg.get("cutoff_top_k", 4)),
+                        **common)
+                else:
+                    self._int8_session = Int8RnntGreedyDecoding(
+                        self.tokenizer, params,
+                        self.config["predictor"].get("config", {}),
+                        self.config["joiner"],
+                        max_token_step=self._int8_max_token_step, **common)
             return self._int8_session.decode(None, eval_out["enc"],
                                              eval_out["enc_lens"])
         return self.decode_session.decode(params, eval_out["enc"],
@@ -239,6 +262,14 @@ class RnntTask(BaseRnntTask):
                           "label_length": batch["label_length"]})
         return loss, {"train_loss": loss,
                       "frames": jnp.sum(out["enc_lens"])}
+
+    def eval_loss_metrics(self, out, batch):
+        # reference rnnt_task.py:283 logs val_loss in validation_step
+        loss = self.loss({"logits": out["logits"],
+                          "logits_length": out["enc_lens"],
+                          "label": batch["label"],
+                          "label_length": batch["label_length"]})
+        return {"val_loss": loss}
 
 
 class CtcHybridRnntTask(BaseRnntTask):
@@ -268,6 +299,19 @@ class CtcHybridRnntTask(BaseRnntTask):
         loss = self.rnnt_weight * rnnt + self.ctc_weight * ctc
         return loss, {"train_loss": loss, "rnnt_loss": rnnt,
                       "ctc_loss": ctc, "frames": jnp.sum(out["enc_lens"])}
+
+    def eval_loss_metrics(self, out, batch):
+        # reference rnnt_task.py:415-417 logs val_loss + branch losses
+        rnnt = self.rnnt_loss({"logits": out["logits"],
+                               "logits_length": out["enc_lens"],
+                               "label": batch["label"],
+                               "label_length": batch["label_length"]})
+        ctc = self.ctc_loss({"logits": out["dec"],
+                             "logits_length": out["dec_lens"],
+                             "label": batch["label"],
+                             "label_length": batch["label_length"]})
+        return {"val_loss": self.rnnt_weight * rnnt + self.ctc_weight * ctc,
+                "val_rnnt_loss": rnnt, "val_ctc_loss": ctc}
 
 
 class PrunedRnntTask(BaseRnntTask):
@@ -308,3 +352,23 @@ class PrunedRnntTask(BaseRnntTask):
         metrics["train_loss"] = loss
         metrics["frames"] = jnp.sum(out["enc_lens"])
         return loss, metrics
+
+    def eval_loss_metrics(self, out, batch):
+        # reference rnnt_task.py:574-577 logs val simple/pruned(/ctc) losses
+        simple = out["simple_loss"]
+        pruned = self.pruned_loss({"logits": out["logits"],
+                                   "ranges": out["ranges"],
+                                   "logits_length": out["enc_lens"],
+                                   "label": batch["label"],
+                                   "label_length": batch["label_length"]})
+        loss = self.simple_scale * simple + self.pruned_scale * pruned
+        metrics = {"val_simple_loss": simple, "val_pruned_loss": pruned}
+        if self.enable_ctc:
+            ctc = self.ctc_loss({"logits": out["dec"],
+                                 "logits_length": out["dec_lens"],
+                                 "label": batch["label"],
+                                 "label_length": batch["label_length"]})
+            loss = loss + self.ctc_weight * ctc
+            metrics["val_ctc_loss"] = ctc
+        metrics["val_loss"] = loss
+        return metrics

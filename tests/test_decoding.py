@@ -4,12 +4,16 @@ controlled fake joiner, reference_decoder round trip."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech2text_tpu.data.tokenizer import CharTokenizer
 from speech2text_tpu.decoding import (CtcGreedyDecoding,
+
                                       CtcPrefixBeamDecoding,
                                       RnntBeamDecoding, RnntGreedyDecoding,
                                       ctc_greedy_reduce, reference_decoder)
+
+pytestmark = pytest.mark.quick
 
 TOK = CharTokenizer()  # labels: <blank_id>, <unk>, a..z, ', ' ', <sos/eos>
 

@@ -16,8 +16,11 @@ from __graft_entry__ import _build_model, _example_batch, _tiny_config
 from speech2text_tpu.losses import Loss
 from speech2text_tpu.optim import scaled_adam
 from speech2text_tpu.parallel.mesh import (MeshConfig, batch_sharding,
+
                                            make_mesh, replicated,
                                            shard_params)
+
+pytestmark = pytest.mark.mesh
 
 STEPS = 12
 

@@ -12,8 +12,11 @@ every batch — these tests pin that contract down.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech2text_tpu.data.batcher import BucketBatcher, build_bucket_specs
+
+pytestmark = pytest.mark.mesh
 
 N_SHARDS = 2
 

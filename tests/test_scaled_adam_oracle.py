@@ -19,7 +19,10 @@ import jax.numpy as jnp
 import optax
 
 from speech2text_tpu.optim.scaled_adam import (dominant_parameter_report,
+
                                                scaled_adam)
+
+pytestmark = pytest.mark.quick
 
 torch = pytest.importorskip("torch")
 

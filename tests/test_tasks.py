@@ -145,6 +145,60 @@ class TestRnntTasks:
         _, metrics, _ = check_task(task, audio_batch(rng))
         assert "simple_loss" in metrics and "pruned_loss" in metrics
 
+    def test_vanilla_val_loss_is_real(self, rng):
+        """Transducer eval_forward must report the actual validation loss
+        (reference rnnt_task.py:283), not a zero placeholder, so
+        checkpoint top-k can monitor it."""
+        cfg = self._cfg(-1)
+        cfg["loss"] = {"model": "Rnnt", "config": {}}
+        task = TaskFactory("Rnnt")(cfg)
+        batch = audio_batch(rng)
+        params = task.init(jax.random.PRNGKey(0))
+        out = task.eval_forward(params, batch)
+        assert float(out["val_loss"]) > 0.1  # untrained → NLL well above 0
+
+    def test_hybrid_val_branch_losses(self, rng):
+        cfg = self._cfg(-1)
+        cfg["loss"] = {"model": "Rnnt", "rnnt_weight": 0.7,
+                       "ctc_weight": 0.3}
+        task = TaskFactory("CTC_Hybrid_Rnnt")(cfg)
+        batch = audio_batch(rng)
+        params = task.init(jax.random.PRNGKey(0))
+        out = task.eval_forward(params, batch)
+        np.testing.assert_allclose(
+            float(out["val_loss"]),
+            0.7 * float(out["val_rnnt_loss"])
+            + 0.3 * float(out["val_ctc_loss"]), rtol=1e-5)
+        assert float(out["val_rnnt_loss"]) > 0.0
+
+    def test_pruned_val_branch_losses(self, rng):
+        cfg = self._cfg(3)
+        cfg["loss"] = {"model": "Pruned_Rnnt", "simple_loss_scale": 0.4,
+                       "pruned_loss_scale": 0.6, "config": {}}
+        task = TaskFactory("Pruned_Rnnt")(cfg)
+        batch = audio_batch(rng)
+        params = task.init(jax.random.PRNGKey(0))
+        out = task.eval_forward(params, batch)
+        np.testing.assert_allclose(
+            float(out["val_loss"]),
+            0.4 * float(out["val_simple_loss"])
+            + 0.6 * float(out["val_pruned_loss"]), rtol=1e-5)
+        assert float(out["val_pruned_loss"]) > 0.0
+
+    def test_streaming_eval_forward_skips_val_loss(self, rng):
+        """encoder_streaming eval (the inference/test surface,
+        reference rnnt_task.py:814-819) decodes only — no loss keys."""
+        cfg = self._cfg(-1)
+        cfg["loss"] = {"model": "Rnnt", "config": {}}
+        cfg["encoder"] = TINY_ZIP
+        cfg["metric"] = {**cfg["metric"], "encoder_streaming": True}
+        task = TaskFactory("Rnnt")(cfg)
+        batch = audio_batch(rng)
+        params = task.init(jax.random.PRNGKey(0))
+        out = task.eval_forward(params, batch)
+        assert "val_loss" not in out
+        assert task.eval_hyps(out, params) is not None
+
 
 class TestSslTask:
 
