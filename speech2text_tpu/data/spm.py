@@ -11,9 +11,15 @@ provides the same *behavioral* surface the reference relies on
     header rows) readable by SubwordTokenizer — byte-compatible with real
     sentencepiece .vocab files, so vocabs trained with the real tool load too.
 
-The model file is JSON (not the spm protobuf): {"pieces": {piece: score}}.
-If a real spm protobuf `.model` is passed, we fall back to reading pieces
-from the sibling `.vocab` file.
+Model-file formats accepted by `UnigramModel.load`:
+  - our JSON format {"pieces": {piece: score}} (written by `save`)
+  - REAL sentencepiece binary `.model` protobufs (ModelProto): parsed
+    directly with a minimal protobuf wire-format walker (`_parse_spm_proto`)
+    — no sentencepiece/protobuf dependency — so reference/icefall-trained
+    tokenizers (e.g. /root/reference/sample_data/spm/tokenizer.model,
+    loaded by reference dataset/utils.py:98) and checkpoints keyed to
+    their ids are consumable. Piece ORDER is preserved, so label ids match
+    the reference's .vocab-derived layout exactly.
 """
 
 from __future__ import annotations
@@ -23,7 +29,8 @@ import json
 import math
 import os
 import re
-from typing import Dict, Iterable, List, Tuple
+import struct
+from typing import Dict, Iterable, List, Optional, Tuple
 
 WS = "▁"  # '▁' sentencepiece whitespace marker
 UNK_PIECE = "<unk>"
@@ -39,14 +46,90 @@ def _normalize(text: str) -> str:
     return WS + text.replace(" ", WS)
 
 
-class UnigramModel:
-    """Unigram subword LM: piece → log-prob; Viterbi encoding."""
+# -------------------------------------------- sentencepiece ModelProto I/O
+# Wire-format field numbers from sentencepiece_model.proto:
+#   ModelProto.pieces = 1 (repeated SentencePiece)
+#   SentencePiece.piece = 1 (string), .score = 2 (float), .type = 3 (enum:
+#   NORMAL=1, UNKNOWN=2, CONTROL=3, USER_DEFINED=4, UNUSED=5, BYTE=6)
+_SP_NORMAL, _SP_UNKNOWN, _SP_CONTROL = 1, 2, 3
+_SP_USER_DEFINED, _SP_UNUSED, _SP_BYTE = 4, 5, 6
 
-    def __init__(self, pieces: Dict[str, float]):
+
+def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
+    val = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long (not a protobuf?)")
+
+
+def _walk_fields(buf: bytes, start: int, end: int):
+    """Yield (field_number, wire_type, value) over one message's fields.
+    Length-delimited values are (start, end) offsets into buf."""
+    i = start
+    while i < end:
+        key, i = _read_varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:                                   # varint
+            val, i = _read_varint(buf, i)
+        elif wt == 1:                                 # fixed64
+            val, i = buf[i:i + 8], i + 8
+        elif wt == 2:                                 # length-delimited
+            ln, i = _read_varint(buf, i)
+            val, i = (i, i + ln), i + ln
+        elif wt == 5:                                 # fixed32
+            val, i = buf[i:i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        if i > end:
+            raise ValueError("field overruns message (not a protobuf?)")
+        yield field, wt, val
+
+
+def _parse_spm_proto(buf: bytes) -> List[Tuple[str, float, int]]:
+    """sentencepiece binary ModelProto → [(piece, score, type)] in id
+    order. ~60 lines of varint walking; no protobuf dependency."""
+    out: List[Tuple[str, float, int]] = []
+    for field, wt, val in _walk_fields(buf, 0, len(buf)):
+        if field != 1 or wt != 2:
+            continue
+        s, e = val
+        piece: Optional[str] = None
+        score, ptype = 0.0, _SP_NORMAL
+        for f2, w2, v2 in _walk_fields(buf, s, e):
+            if f2 == 1 and w2 == 2:
+                piece = buf[v2[0]:v2[1]].decode("utf-8")
+            elif f2 == 2 and w2 == 5:
+                score = struct.unpack("<f", v2)[0]
+            elif f2 == 3 and w2 == 0:
+                ptype = v2
+        if piece is not None:
+            out.append((piece, score, ptype))
+    if not out:
+        raise ValueError("no pieces found (not a sentencepiece model?)")
+    return out
+
+
+class UnigramModel:
+    """Unigram subword LM: piece → log-prob; Viterbi encoding.
+
+    `ordered` (when set) is the piece list in model-file id order —
+    SubwordTokenizer uses it so label ids reproduce the source model's
+    layout exactly (reference dataset/utils.py:105-113 reads the .vocab
+    file in order); None for our JSON models (legacy score-sorted ids)."""
+
+    def __init__(self, pieces: Dict[str, float],
+                 ordered: Optional[List[str]] = None):
         # pieces must contain all single chars seen at training time.
         self.pieces: Dict[str, float] = dict(pieces)
         self.max_len = max((len(p) for p in self.pieces), default=1)
         self.min_score = min(self.pieces.values(), default=0.0)
+        self.ordered = ordered
 
     # ------------------------------------------------------------------ io
     def save(self, model_path: str, vocab_path: str | None = None) -> None:
@@ -69,17 +152,38 @@ class UnigramModel:
                 obj = json.load(f)
             return cls(obj["pieces"])
         except (UnicodeDecodeError, json.JSONDecodeError):
-            # Real sentencepiece protobuf: read the sibling .vocab instead.
+            pass
+        # Real sentencepiece binary protobuf (reference
+        # dataset/utils.py:98 loads these via the spm C++ wheel).
+        with open(model_path, "rb") as f:
+            buf = f.read()
+        try:
+            proto_pieces = _parse_spm_proto(buf)
+        except (ValueError, IndexError, UnicodeDecodeError) as e:
+            # last resort: a sibling .vocab file
             vocab = os.path.splitext(model_path)[0] + ".vocab"
             if os.path.exists(vocab):
                 return cls.load_vocab(vocab)
             raise ValueError(
-                f"{model_path} is not an s2t-unigram JSON model and no "
-                f"sibling .vocab file found")
+                f"{model_path} is neither an s2t-unigram JSON model nor a "
+                f"parseable sentencepiece protobuf ({e}) and no sibling "
+                f".vocab file found")
+        pieces: Dict[str, float] = {}
+        order: List[str] = []
+        for piece, score, ptype in proto_pieces:
+            # keep scoreable pieces; specials (<unk>/<s>/</s>, CONTROL)
+            # are re-added by the tokenizer's label layout
+            if ptype in (_SP_UNKNOWN, _SP_CONTROL, _SP_UNUSED):
+                continue
+            if piece not in pieces:
+                order.append(piece)
+            pieces[piece] = score
+        return cls(pieces, ordered=order)
 
     @classmethod
     def load_vocab(cls, vocab_path: str) -> "UnigramModel":
         pieces: Dict[str, float] = {}
+        order: List[str] = []
         with open(vocab_path, "r") as f:
             for line in f:
                 parts = line.rstrip("\n").split("\t")
@@ -89,8 +193,10 @@ class UnigramModel:
                 if piece in (UNK_PIECE, BOS_PIECE, EOS_PIECE):
                     continue
                 score = float(parts[1]) if len(parts) > 1 else 0.0
+                if piece not in pieces:
+                    order.append(piece)
                 pieces[piece] = score
-        return cls(pieces)
+        return cls(pieces, ordered=order)
 
     # ------------------------------------------------------------- encode
     def encode_as_pieces(self, text: str, emit_unk_piece: bool = True) -> List[str]:

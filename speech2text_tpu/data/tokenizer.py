@@ -118,10 +118,16 @@ class SubwordTokenizer(Tokenizer):
             self._model = UnigramModel.load(config.spm_model)
         else:
             self._model = UnigramModel.load_vocab(config.spm_vocab)
-        vocab_tokens = [UNK] + [
-            p for p, _ in sorted(self._model.pieces.items(), key=lambda kv: -kv[1])
-        ]
-        self._labels = [BLANK] + vocab_tokens + [SOS_EOS]
+        if self._model.ordered is not None:
+            # real spm protobuf / .vocab file: keep the model's id order so
+            # ids match the reference's vocab-derived layout EXACTLY
+            # (reference dataset/utils.py:105-113 reads the file in order)
+            pieces = list(self._model.ordered)
+        else:
+            # our JSON models: score-sorted (the order save_vocab writes)
+            pieces = [p for p, _ in sorted(self._model.pieces.items(),
+                                           key=lambda kv: -kv[1])]
+        self._labels = [BLANK, UNK] + pieces + [SOS_EOS]
 
     @property
     def labels(self) -> List[str]:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decoding import RnntGreedyDecoding
+from .decoding import RnntBeamDecoding, RnntGreedyDecoding
 from .export import quantize_params
 
 
@@ -115,6 +115,79 @@ class Int8StatelessPredictor:
         return out[:, None, :], tokens[:, 1:]
 
 
+class Int8LstmPredictor:
+    """Int8 step function for models/predictor.py:LstmPredictor.
+
+    Gate math mirrors flax LSTMCell exactly (params i{i,f,g,o}: input
+    kernels, no bias; h{i,f,g,o}: hidden kernels + bias):
+        i,f,o = σ(x·Wi* + h·Wh* + b*),  g = tanh(...)
+        c' = f⊙c + i⊙g,  h' = o⊙tanh(c')
+    Every gate matmul runs int8×int8→int32 on the MXU via quant_dense
+    (matching onnxruntime quantize_dynamic's MatMul-only policy the
+    reference applies to its exported predictor, rnnt_task.py:798-809)."""
+
+    GATES = ("i", "f", "g", "o")
+
+    def __init__(self, qt: Dict[str, QTensor], num_layers: int,
+                 hidden_dim: int, prefix: str = "predictor"):
+        self.embed = qt[f"{prefix}/embed/embedding"]
+        self.out_w = qt[f"{prefix}/out/kernel"]
+        self.out_b = qt[f"{prefix}/out/bias"].dequant()
+        self.layers = []
+        for l in range(num_layers):
+            cell = f"{prefix}/rnns_{l}/cell"
+            self.layers.append({
+                g: (qt[f"{cell}/i{g}/kernel"], qt[f"{cell}/h{g}/kernel"],
+                    qt[f"{cell}/h{g}/bias"].dequant())
+                for g in self.GATES
+            })
+        self.hidden = hidden_dim
+        self.n = num_layers
+
+    def init_state(self, batch_size: int):
+        z = jnp.zeros((batch_size, self.hidden), jnp.float32)
+        return [(z, z) for _ in range(self.n)]  # (c, h) per layer
+
+    def step(self, params, token, state):
+        del params
+        x = self.embed.q[token.astype(jnp.int32)]
+        if self.embed.is_quantized:
+            x = x.astype(jnp.float32) * self.embed.scale
+        new_state = []
+        for l, gates in enumerate(self.layers):
+            c, h = state[l]
+            h = h.astype(jnp.float32)
+            acts = {}
+            for g in self.GATES:
+                iw, hw, hb = gates[g]
+                acts[g] = quant_dense(x, iw, None) + quant_dense(h, hw, hb)
+            i = jax.nn.sigmoid(acts["i"])
+            f = jax.nn.sigmoid(acts["f"])
+            gg = jnp.tanh(acts["g"])
+            o = jax.nn.sigmoid(acts["o"])
+            c = f * c.astype(jnp.float32) + i * gg
+            h = o * jnp.tanh(c)
+            new_state.append((c, h))
+            x = h
+        out = quant_dense(x, self.out_w, self.out_b)
+        return out[:, None, :], new_state
+
+
+def build_int8_predictor(qt: Dict[str, QTensor], predictor_model: str,
+                         predictor_config: dict, prefix: str = "predictor"):
+    """Int8 predictor step for either predictor family (drops the
+    round-3 Stateless-only restriction)."""
+    cfg = predictor_config or {}
+    if predictor_model == "Stateless":
+        return Int8StatelessPredictor(
+            qt, context_size=int(cfg.get("context_size", 2)), prefix=prefix)
+    if predictor_model == "Lstm":
+        return Int8LstmPredictor(
+            qt, num_layers=int(cfg.get("num_lstm_layers", 2)),
+            hidden_dim=int(cfg.get("lstm_hidden_dim", 512)), prefix=prefix)
+    raise ValueError(f"unknown predictor model {predictor_model!r}")
+
+
 class Int8Joiner:
     """Int8 single-frame join for models/joiner.py:Joiner.streaming_step."""
 
@@ -149,16 +222,39 @@ class Int8RnntGreedyDecoding(RnntGreedyDecoding):
 
     def __init__(self, tokenizer, params_or_flat, predictor_config: dict,
                  joiner_config: dict, max_token_step: int = 1,
-                 max_tokens: int = 256, min_size: int = 1024):
+                 max_tokens: int = 256, min_size: int = 1024,
+                 predictor_model: str = "Stateless"):
         qt = flat_qtree(params_or_flat, min_size=min_size)
-        pred = Int8StatelessPredictor(
-            qt, context_size=int(predictor_config.get("context_size", 2)))
+        pred = build_int8_predictor(qt, predictor_model, predictor_config)
         join = Int8Joiner(
             qt, activation=joiner_config.get("activation", "relu"),
             use_out_project=bool(joiner_config.get("use_out_project",
                                                    True)))
         super().__init__(tokenizer, pred.step, pred.init_state, join.step,
                          max_token_step=max_token_step,
+                         max_tokens=max_tokens)
+        self.predictor = pred
+        self.joiner = join
+
+
+class Int8RnntBeamDecoding(RnntBeamDecoding):
+    """Beam transducer decode on the int8 predictor/joiner step functions
+    (the same batched lax.scan beam of decoding.py:RnntBeamDecoding; only
+    the per-frame matmuls are quantized). Extends the reference, whose
+    int8 path exists only for exported-ONNX greedy deployment."""
+
+    def __init__(self, tokenizer, params_or_flat, predictor_config: dict,
+                 joiner_config: dict, beam_size: int = 4,
+                 cutoff_top_k: int = 4, max_tokens: int = 256,
+                 min_size: int = 1024, predictor_model: str = "Stateless"):
+        qt = flat_qtree(params_or_flat, min_size=min_size)
+        pred = build_int8_predictor(qt, predictor_model, predictor_config)
+        join = Int8Joiner(
+            qt, activation=joiner_config.get("activation", "relu"),
+            use_out_project=bool(joiner_config.get("use_out_project",
+                                                   True)))
+        super().__init__(tokenizer, pred.step, pred.init_state, join.step,
+                         beam_size=beam_size, cutoff_top_k=cutoff_top_k,
                          max_tokens=max_tokens)
         self.predictor = pred
         self.joiner = join
