@@ -113,8 +113,12 @@ def main():
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
     tx = scaled_adam(learning_rate=1e-3)
 
-    # B=24 is the sweet spot on v5e (B=32 falls off a memory cliff)
-    B = int(os.environ.get("BENCH_B", 24))
+    # B=96 is the measured throughput optimum on v5e (round-3 sweep,
+    # docs/evidence/microbench_segments.json: B=24→596, B=48→682,
+    # B=64→711, B=96→731 utt/s/chip; the round-1 "B=32 memory cliff" is
+    # long gone). Larger batches amortize the batch-free rel-pos window
+    # tensors and keep the MXU busier per HBM byte.
+    B = int(os.environ.get("BENCH_B", 96))
     SECS, U = 10, 48
     N = SECS * 16000
     rng = np.random.default_rng(0)
