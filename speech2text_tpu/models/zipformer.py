@@ -372,7 +372,7 @@ class AttentionWeights(nn.Module):
     def project(self, x, pos_emb):
         """Shared projections (q, k, qp, p) — consumed either by the
         materialized-weights path (`__call__`) or by the fused Pallas
-        attention (`ops/pallas/flash_attn.zip_attend`)."""
+        weights kernel (`fused` → ops/pallas/flash_attn.zip_weights)."""
         B, T, D = x.shape
         H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
         q = self.q_proj(x).reshape(B, T, H, qd)
@@ -423,6 +423,21 @@ class AttentionWeights(nn.Module):
         from ..stopgrad_probe import tag
         return tag(jax.nn.softmax(scores, axis=-1).astype(self.dtype),
                    "attn_weights")
+
+    def fused(self, x, pos_emb, attn_mask=None):
+        """Fused Pallas weights (ops/pallas/flash_attn.zip_weights): one
+        kernel computes scores + Toeplitz rel-pos + clip + mask + softmax
+        and writes the (B,H,T,T) weights ONCE — the two score-einsum HBM
+        round trips of `__call__` never happen. All consumers reuse the
+        result exactly like the materialized path. Scores are computed in
+        f32 in-kernel (score_dtype's bf16 rounding doesn't apply — the
+        fused path is strictly more precise)."""
+        B, T, D = x.shape
+        q, k, qp, p = self.project(x, pos_emb)
+        from ..ops.pallas.flash_attn import zip_weights
+        from ..stopgrad_probe import tag
+        return tag(zip_weights(q, k, qp, p, attn_mask,
+                               w_dtype=self.dtype), "attn_weights")
 
     def step(self, x_chunk, pos_emb_table, cached_k, valid_cache):
         """Streaming: queries = chunk (C), keys = [cache (L) | chunk].
@@ -481,18 +496,6 @@ class SelfAttention(nn.Module):
         B, T, D = x.shape
         return self._attend(attn_weights, self.v_proj(x), B, T)
 
-    def flash_call(self, x, proj, attn_mask):
-        """Fused path: recompute scores from the shared projections inside
-        the Pallas kernel instead of consuming materialized weights."""
-        from ..ops.pallas.flash_attn import zip_attend
-        B, T, D = x.shape
-        H, vd = self.num_heads, self.value_head_dim
-        q, k, qp, p = proj
-        v = self.v_proj(x).reshape(B, T, H, vd)
-        out = zip_attend(q, k, qp, p, v, attn_mask, w_dtype=self.dtype)
-        out = out.reshape(B, T, H * vd).astype(self.dtype)
-        return self.out_proj(out)
-
     def step(self, x_chunk, weights, cached_v):
         B, C, D = x_chunk.shape
         L = cached_v.shape[1]
@@ -538,38 +541,6 @@ class NonlinAttention(nn.Module):
         out = jnp.einsum("bts,bsd->btd", attn_weights_1head, v,
                          preferred_element_type=jnp.float32)
         out = b * out.astype(self.dtype)
-        out = self.out_proj(out)
-        if dyn_step is not None:
-            from ..ops.regularizers import whiten, whitening_schedule
-            out = whiten(out, whitening_schedule(5.0, 3.0)(dyn_step),
-                         0.01, 0.25)
-        return out
-
-    def flash_call(self, x, proj, attn_mask, const_row=None,
-                   dyn_step=None):
-        """Fused path: head-0 weights recomputed in the Pallas kernel;
-        `const_row` (B,) selects uniform-over-allowed weights (the
-        const-attention regularizer, reference zipformer.py:1143-1155)."""
-        from ..ops.pallas.flash_attn import zip_attend
-        h = self.in_proj(x)
-        s, a, b = jnp.split(h, 3, axis=-1)
-        if dyn_step is not None:
-            from ..ops.regularizers import (ScheduledFloat, balancer,
-                                            whiten, whitening_schedule)
-            s = balancer(
-                s,
-                min_positive=ScheduledFloat((0.0, 0.25),
-                                            (20000.0, 0.05))(dyn_step),
-                max_positive=ScheduledFloat((0.0, 0.75),
-                                            (20000.0, 0.95))(dyn_step),
-                min_abs=0.5, max_abs=5.0,
-                prob=ScheduledFloat((0.0, 0.5), (8000.0, 0.125))(dyn_step))
-            a = whiten(a, whitening_schedule(5.0)(dyn_step), 0.01, 0.25)
-        v = (a * jnp.tanh(s))[:, :, None, :]       # (B, T, 1, hidden)
-        q, k, qp, p = proj
-        out = zip_attend(q[:, :, :1], k[:, :, :1], qp[:, :, :1], p[:, :1],
-                         v, attn_mask, const_row, w_dtype=self.dtype)
-        out = b * out[:, :, 0].astype(self.dtype)
         out = self.out_proj(out)
         if dyn_step is not None:
             from ..ops.regularizers import whiten, whitening_schedule
@@ -654,8 +625,8 @@ class Zipformer2EncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     dynamics: bool = False
-    # fused Pallas attention: scores recomputed per consumer in-kernel, no
-    # (B,H,T,T) tensors materialized on the forward (ops/pallas/flash_attn)
+    # fused Pallas attention-weights kernel: scores+rel-pos+clip+mask+
+    # softmax in one kernel, weights written once (ops/pallas/flash_attn)
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
 
@@ -721,27 +692,22 @@ class Zipformer2EncoderLayer(nn.Module):
             m_bypass = seq_keep(keys[5], bypass_skip)
             use_const = jax.random.bernoulli(keys[6], const_attn)
 
-        if self.flash:
-            proj = self.attn_weights.project(x, pos_emb)
-            attn_w = None
-            const_row = (jnp.broadcast_to(use_const, (B,)) if dyn
-                         else None)
-        else:
-            attn_w = self.attn_weights(x, pos_emb, attn_mask)
-            na_w = attn_w[:, 0]
-            if dyn:
-                # const-attention: averaging-over-allowed-positions weights
-                # (reference zipformer.py:1143-1155)
-                wc = (na_w > 0).astype(na_w.dtype)
-                wc = wc / jnp.maximum(wc.sum(-1, keepdims=True), 1e-9)
-                na_w = jnp.where(use_const, wc, na_w)
+        # `flash` switches only how the weights are COMPUTED (fused Pallas
+        # kernel vs materialized einsums); every consumer below is shared.
+        attn_w = (self.attn_weights.fused(x, pos_emb, attn_mask)
+                  if self.flash
+                  else self.attn_weights(x, pos_emb, attn_mask))
+        na_w = attn_w[:, 0]
+        if dyn:
+            # const-attention: averaging-over-allowed-positions weights
+            # (reference zipformer.py:1143-1155)
+            wc = (na_w > 0).astype(na_w.dtype)
+            wc = wc / jnp.maximum(wc.sum(-1, keepdims=True), 1e-9)
+            na_w = jnp.where(use_const, wc, na_w)
         from ..stopgrad_probe import tag
         src = x
         x = x + tag(self.ff1(x, deterministic, self.dropout), "ff")
-        na = (self.nonlin_attn.flash_call(x, proj, attn_mask, const_row,
-                                          dyn_step=(s if dyn else None))
-              if self.flash
-              else self.nonlin_attn(x, na_w, dyn_step=(s if dyn else None)))
+        na = self.nonlin_attn(x, na_w, dyn_step=(s if dyn else None))
         na = tag(na, "nonlin")
         if dyn:
             na = balancer(na, 0.3, 0.7,
@@ -751,8 +717,7 @@ class Zipformer2EncoderLayer(nn.Module):
             x = x + na * m_attn
         else:
             x = x + na
-        sa1 = tag(self.self_attn1.flash_call(x, proj, attn_mask)
-                  if self.flash else self.self_attn1(x, attn_w), "selfattn")
+        sa1 = tag(self.self_attn1(x, attn_w), "selfattn")
         x = x + (sa1 * m_attn if dyn else sa1)
         c1 = tag(self.conv1(x, pad_mask), "conv")
         x = x + (c1 * m_conv1 if dyn else c1)
@@ -767,8 +732,7 @@ class Zipformer2EncoderLayer(nn.Module):
             x = x + f2
         x = (self.bypass_mid(src, x, scale_min=bypass_min) if dyn
              else self.bypass_mid(src, x))
-        sa2 = tag(self.self_attn2.flash_call(x, proj, attn_mask)
-                  if self.flash else self.self_attn2(x, attn_w), "selfattn")
+        sa2 = tag(self.self_attn2(x, attn_w), "selfattn")
         x = x + (sa2 * m_attn if dyn else sa2)
         c2 = tag(self.conv2(x, pad_mask), "conv")
         x = x + (c2 * m_conv2 if dyn else c2)
@@ -1066,9 +1030,11 @@ class Zipformer2Config:
     # compile each stack's layers as one nn.scan loop (smaller executable,
     # faster compile; same math — see Zipformer2Stack docstring)
     scan_layers: bool = False
-    # fused Pallas attention for training/offline forward (SURVEY §7's
-    # chunk-masked flash attention; streaming .step keeps the materialized
-    # path — its windows are small). Same math, tolerance-tested.
+    # fused Pallas attention-weights kernel for training/offline forward
+    # (SURVEY §7's chunk-masked flash attention, round-4 weights-producer
+    # redesign — see ops/pallas/flash_attn.py): scores never hit HBM;
+    # streaming .step keeps the materialized path — its windows are small.
+    # Same math (f32 in-kernel scores), tolerance-tested.
     use_flash_attn: bool = False
     # "bfloat16" halves HBM traffic of the two big attention-score
     # tensors (einsum outputs) while keeping clip/mask/softmax in f32 —
