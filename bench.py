@@ -91,10 +91,12 @@ def main():
     scan = os.environ.get("BENCH_SCAN", "0") != "0"
     cfg = _flagship_config(vocab, dtype=dtype, remat=remat)
     cfg["encoder"]["config"]["scan_layers"] = scan
-    # fused Pallas attention (no (B,H,T,T) tensors on forward); BENCH_FLASH
-    # toggles for A/B — see ops/pallas/flash_attn.py
+    # fused Pallas attention-WEIGHTS kernel (scores never hit HBM; see
+    # ops/pallas/flash_attn.py). Round-4 A/B at the B=96 default: 128.0 vs
+    # 131.3 ms/step (750 vs 731 utt/s) → on. At B=24 it loses (42.1 vs
+    # 40.3) — BENCH_FLASH=0 to A/B.
     cfg["encoder"]["config"]["use_flash_attn"] = \
-        os.environ.get("BENCH_FLASH", "0") != "0"
+        os.environ.get("BENCH_FLASH", "1") != "0"
     # bf16 attention-score einsum outputs (f32 clip/mask/softmax
     # unchanged) — measured 64.0 → 58.3 ms/step (microbench, v5e); see
     # AttentionWeights.score_dtype. BENCH_SCORE_DTYPE=float32 to A/B back.
