@@ -81,7 +81,16 @@ def run_inference(argv):
     ts_cfg = testset.get("config", {}) or {}
     if "feat_type" in ts_cfg and not ts_cfg["feat_type"].startswith(
             "torchscript"):
-        train_cfg["dataset"]["feat_type"] = ts_cfg["feat_type"]
+        if train_cfg["dataset"].get("feat_type") == "pcm" \
+                and ts_cfg["feat_type"] != "pcm":
+            # raw-waveform encoders (wav2vec2) consume PCM directly; a
+            # spectral testset frontend can never match the model's input
+            # contract, so keep pcm rather than crash in the encoder
+            log.warning("testset feat_type=%s ignored: task was trained on "
+                        "raw pcm (wav2vec2-style encoder)",
+                        ts_cfg["feat_type"])
+        else:
+            train_cfg["dataset"]["feat_type"] = ts_cfg["feat_type"]
     if "feat_config" in ts_cfg and "num_mel_bins" in ts_cfg["feat_config"]:
         train_cfg["dataset"].setdefault("feat_config", {})["num_mel_bins"] \
             = ts_cfg["feat_config"]["num_mel_bins"]

@@ -70,10 +70,15 @@ class CifTask(AsrTaskBase):
         out = self.model.apply({"params": params}, feats, feat_lens,
                                batch["label_length"], deterministic=False,
                                rngs={"dropout": k_drop})
-        U = batch["label"].shape[1]
-        logits = out["logits"][:, :U]
-        ce = self.ce_loss({"logits": logits, "label": batch["label"],
-                           "mask": batch["label_length"]})
+        # Align the static label pad (bucket label_len) with the CIF
+        # emission buffer (cif.max_tokens): score the overlap and clamp the
+        # mask so neither a generous pad nor a tight U_cap broadcasts wrong.
+        # (The reference runs dynamic shapes so the two always agree;
+        # here both are static and may be configured independently.)
+        L = min(batch["label"].shape[1], out["logits"].shape[1])
+        ce = self.ce_loss({"logits": out["logits"][:, :L],
+                           "label": batch["label"][:, :L],
+                           "mask": jnp.minimum(batch["label_length"], L)})
         mae = self.mae_loss({"pred_token_counts": out["pred_counts"],
                              "true_token_counts": batch["label_length"]})
         loss = ce + self.mae_weight * mae
@@ -86,10 +91,10 @@ class CifTask(AsrTaskBase):
         # loss pass (teacher-forced lengths) + inference pass for WER
         out = self.model.apply({"params": params}, feats, feat_lens,
                                batch["label_length"], deterministic=True)
-        U = batch["label"].shape[1]
-        ce = self.ce_loss({"logits": out["logits"][:, :U],
-                           "label": batch["label"],
-                           "mask": batch["label_length"]})
+        L = min(batch["label"].shape[1], out["logits"].shape[1])
+        ce = self.ce_loss({"logits": out["logits"][:, :L],
+                           "label": batch["label"][:, :L],
+                           "mask": jnp.minimum(batch["label_length"], L)})
         infer = self.model.apply({"params": params}, feats, feat_lens, None,
                                  deterministic=True)
         log_probs = jax.nn.log_softmax(infer["logits"], axis=-1)

@@ -65,7 +65,11 @@ class CheckpointManager:
             v = m.get(self.monitor)
             if v is None:
                 v = 0.0 if self.mode == "max" else float("inf")
-            return sign * v
+            # tie-break toward the LATER checkpoint: on a flat monitor
+            # (e.g. dev WER pinned at 1.0 early in training) keeping the
+            # earliest checkpoints would freeze top-k at the least-trained
+            # params
+            return (sign * v, -int(s))
 
         ranked = sorted(ckpts.items(), key=score)
         keep = {s for s, _ in ranked[:self.save_top_k]}
@@ -87,7 +91,7 @@ class CheckpointManager:
         sign = 1.0 if self.mode == "min" else -1.0
         ranked = sorted(
             ((s, m) for s, m in ckpts.items() if self.monitor in m),
-            key=lambda kv: sign * kv[1][self.monitor])
+            key=lambda kv: (sign * kv[1][self.monitor], -int(kv[0])))
         steps = [int(s) for s, _ in ranked]
         return steps[:k] if k else steps
 

@@ -271,6 +271,20 @@ class TestCheckpointing:
         np.testing.assert_allclose(np.asarray(avg["w"]),
                                    np.full(3, 2.5), atol=1e-6)
 
+    def test_topk_tie_breaks_to_latest(self, tmp_path):
+        """Flat monitor (dev WER pinned at 1.0): top-k must keep the MOST
+        trained checkpoints, not freeze on the earliest saves (regression:
+        emformer heldout run averaged steps 100-300 of a 1500-step run)."""
+        from speech2text_tpu.train.checkpoint import CheckpointManager
+        mgr = CheckpointManager(str(tmp_path), save_top_k=2, monitor="wer",
+                                mode="min")
+        for step in [1, 2, 3, 4]:
+            state = {"params": {"w": np.full((2,), float(step),
+                                             np.float32)}, "step": step}
+            mgr.save(step, state, metrics={"wer": 1.0})
+        assert set(mgr._index["checkpoints"]) == {"3", "4"}
+        assert mgr.best_steps(2) == [4, 3]
+
     def test_restore_latest(self, tmp_path):
         from speech2text_tpu.train.checkpoint import CheckpointManager
         mgr = CheckpointManager(str(tmp_path))

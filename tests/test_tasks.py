@@ -237,6 +237,24 @@ class TestCifTask:
         assert "mae_loss" in metrics
         assert len(hyps) == 2
 
+    def test_label_pad_exceeds_emission_cap(self, rng):
+        """Static bucket label pad (U=24) wider than cif.max_tokens (16):
+        the task must score the overlap with a clamped mask, not crash
+        (regression: the heldout CIF recipe hit a broadcast error)."""
+        cfg = {**BASE, "encoder": TINY_ENCODER,
+               "cif": {"config": {"input_dim": 32, "max_tokens": 16}},
+               "decoder": {"model": "Projector",
+                           "config": {"input_dim": 32,
+                                      "num_classes": VOCAB,
+                                      "dropout_p": 0.0}},
+               "loss": {"model": "MaskedCELoss", "mae_weight": 1.0}}
+        task = TaskFactory("CIF")(cfg)
+        batch = audio_batch(rng, U=24)
+        batch["label_length"] = jnp.asarray([24, 10], jnp.int32)
+        loss, metrics, hyps = check_task(task, batch)
+        assert np.isfinite(float(loss))
+        assert len(hyps) == 2
+
 
 class TestNnLmTask:
 

@@ -61,6 +61,8 @@ def main():
     cfg = _flagship_config(vocab, dtype="bfloat16")
     cfg["encoder"]["config"]["score_dtype"] = \
         os.environ.get("BENCH_SCORE_DTYPE", "bfloat16")
+    cfg["encoder"]["config"]["use_flash_attn"] = \
+        os.environ.get("BENCH_FLASH", "0") != "0"
     model = _build_model(cfg)
     fbank = Fbank(FbankConfig(num_mel_bins=80, snip_edges=True))
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})

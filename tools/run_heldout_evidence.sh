@@ -25,7 +25,7 @@ run_infer() { # infer_cfg train_yaml name decode_method
         --override task.platform=cpu \
         --override task.train_config="tasks/$name/$tyaml.yaml" \
         --override task.export_path="test_logs/${name}_train" \
-        --override task.aver_best_k=3 \
+        --override task.chkpt_aver=false \
         --override testset.test_data=/root/repo/docs/evidence/heldout/train.json \
         --override testset.config.batch_size=8 2>&1 | tail -2
 }
