@@ -35,8 +35,20 @@ log = get_logger(__name__)
 
 
 def _rss_gb() -> float:
-    """Current peak host RSS in GB (ru_maxrss is kB on Linux)."""
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    """CURRENT host RSS in GB (/proc/self/statm, page-granular).
+
+    Must be current, not peak: `ru_maxrss` is a high-water mark, so a
+    transient compile/lowering spike (e.g. 33 GB while tracing 8 bucket
+    shapes, settling back to <2 GB for the whole run) would trip the
+    leak watchdog forever after — measured doing exactly that on the
+    round-4 sustained run. Falls back to ru_maxrss where /proc is absent.
+    """
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * resource.getpagesize() / 1e9
+    except (OSError, ValueError, IndexError):
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
 class Trainer:
