@@ -73,6 +73,23 @@ def test_fit_smoke_and_rss_guard(tmp_path):
     # the guard fired before max_steps completed
     assert any("step_00000001" in c for c in ckpts), ckpts
 
+def test_rss_gb_tracks_current_not_peak():
+    """The watchdog must see CURRENT RSS: a transient allocation (like a
+    compile-phase spike) must not trip it forever after. Regression for
+    the ru_maxrss high-water-mark bug caught by the round-4 sustained
+    run (33 GB trace-time peak, <2 GB steady state → restart loop)."""
+    from speech2text_tpu.train.loop import _rss_gb
+
+    before = _rss_gb()
+    big = np.ones((150_000_000,), np.float64)  # ~1.2 GB
+    big[::4096] = 2.0  # touch every page
+    spiked = _rss_gb()
+    assert spiked > before + 1.0, (before, spiked)
+    del big
+    settled = _rss_gb()
+    assert settled < spiked - 0.8, (spiked, settled)
+
+
 def test_trainer_mesh_fsdp_from_yaml(tmp_path):
     """trainer.mesh / trainer.fsdp YAML keys configure the device mesh
     (the reference's `Trainer(gpus=…, strategy=…)` analogue)."""
