@@ -135,6 +135,18 @@ def run_inference(argv):
         if exp_cfg.get("export_int8", True):
             save_quantized(params, os.path.join(workdir, "weights.int8.npz"))
 
+    # ---- optional ONNX export (reference rnnt_task.py:753-809 exact
+    # parity: encoder/predictor/joiner .onnx + dynamic-int8 variants +
+    # units.txt for sherpa-onnx / mnn-speech2text)
+    if task_section.get("onnx_export"):
+        from speech2text_tpu.export import export_onnx_modules
+        onnx_cfg = infer_cfg.get("onnx_export_config", {}) or {}
+        enc_cfg = onnx_cfg.get("onnx_encoder_config", {}) or {}
+        export_onnx_modules(
+            task, params, workdir,
+            max_frames=int(enc_cfg.get("max_frames", 2000)),
+            int8=bool(onnx_cfg.get("export_int8", True)))
+
     # ---- test loop with per-utterance report; batch sharded over the
     # mesh 'data' axis so an N-chip host decodes N× wide (the train step
     # is pjit-sharded the same way — see train/loop.py)

@@ -166,6 +166,152 @@ def export_streaming_session(session, export_dir: str,
     return out
 
 
+# ----------------------------------------------------------------- ONNX
+def export_onnx_modules(task, params, export_dir: str,
+                        max_frames: int = 2000,
+                        int8: bool = False,
+                        tokenizer=None) -> Dict[str, str]:
+    """Export the transducer deployment trio as ONNX graphs.
+
+    Reference parity: PrunedRnntInference.on_test_start exports
+    encoder.onnx / predictor.onnx / joiner.onnx (+ *_int8.onnx via
+    onnxruntime dynamic quant, + units.txt) for sherpa-onnx /
+    mnn-speech2text (reference task_factory/rnnt_task.py:753-809,
+    model/encoder/zipformer.py:665-898, model/predictor/
+    stateless_predictor.py:107-237, model/joiner/joiner.py:223-310).
+
+    Here the lowering is the generic jaxpr→ONNX converter
+    (`speech2text_tpu.onnx`): model params are baked as initializers
+    (cast to f32 — deployment graphs are fp32 + optional dynamic int8,
+    like the reference's), and the int8 variants apply the same
+    MatMul/Gather dynamic-quant rewrite onnxruntime performs.
+    """
+    import dataclasses
+
+    from .models.zipformer import Zipformer2
+    from .onnx import convert, quantize_dynamic
+    from .tasks.rnnt import RnntModel
+    os.makedirs(export_dir, exist_ok=True)
+    model = task.model
+    # transducer-only surface, like the reference (rnnt_task.py:759-762
+    # asserts Zipformer encoder + Stateless predictor before exporting)
+    if not (hasattr(model, "predictor") and hasattr(model, "joiner")):
+        raise ValueError("onnx_export needs a transducer task "
+                         "(encoder + predictor + joiner); got "
+                         f"{type(model).__name__}")
+    # the fused Pallas attention kernel computes the same function as the
+    # materialized path (tests/test_flash_attn.py) but pallas_call has no
+    # ONNX lowering — export through the materialized graph
+    if (isinstance(model.encoder, Zipformer2)
+            and getattr(model.encoder.config, "use_flash_attn", False)):
+        enc_off = Zipformer2(dataclasses.replace(
+            model.encoder.config, use_flash_attn=False))
+        model = model.clone(encoder=enc_off)
+    feat_dim = task.frontend.feat_dim
+    f32_params = jax.tree.map(
+        lambda a: (a.astype(jnp.float32)
+                   if jnp.issubdtype(a.dtype, jnp.floating) else a), params)
+    out: Dict[str, str] = {}
+
+    def emit(name, fn, args, input_names, output_names, quant_ops):
+        data = convert(fn, args, name, input_names=input_names,
+                       output_names=output_names,
+                       metadata={"framework": "speech2text_tpu",
+                                 "module": name})
+        path = os.path.join(export_dir, f"{name}.onnx")
+        with open(path, "wb") as f:
+            f.write(data)
+        log.info("exported %s (%d bytes)", path, len(data))
+        out[name] = path
+        if int8:
+            qdata = quantize_dynamic(data, quant_ops)
+            qpath = os.path.join(export_dir, f"{name}_int8.onnx")
+            with open(qpath, "wb") as f:
+                f.write(qdata)
+            log.info("exported %s (%d bytes)", qpath, len(qdata))
+            out[f"{name}_int8"] = qpath
+        return out
+
+    feats = jnp.zeros((1, max_frames, feat_dim), jnp.float32)
+    lens = jnp.asarray([max_frames], jnp.int32)
+    emit("encoder",
+         lambda f, l: model.apply({"params": f32_params}, f, l,
+                                  method=RnntModel.encode),
+         (feats, lens), ["feats", "feat_lens"],
+         ["encoder_out", "encoder_out_lens"], ("MatMul",))
+
+    state = model.predictor.init_state(1)
+    token = jnp.zeros((1,), jnp.int32)
+    n_state = len(jax.tree_util.tree_leaves(state))
+    emit("predictor",
+         lambda t, s: model.apply({"params": f32_params}, t, s,
+                                  method=RnntModel.predictor_step),
+         (token, state), ["token"] + [f"state_{i}" for i in range(n_state)],
+         None, ("MatMul", "Gather"))
+
+    d = task.config["joiner"]["input_dim"]
+    enc_frame = jnp.zeros((1, d), jnp.float32)
+    pred_out = jnp.zeros((1, d), jnp.float32)
+    emit("joiner",
+         lambda a, b: model.apply({"params": f32_params}, a, b,
+                                  method=RnntModel.joiner_step),
+         (enc_frame, pred_out), ["encoder_frame", "predictor_out"],
+         ["logit"], ("MatMul",))
+
+    # streaming encoder graph (the reference's encoder.onnx is the
+    # streaming one — sherpa-onnx drives it chunk by chunk). State is a
+    # flat list of tensors; the layout sidecar tells the host how to wire
+    # state outputs back into the next call (sherpa does the same with
+    # the reference's named cached_* tensors, ref zipformer.py:665-898).
+    from .models.zipformer import Zipformer2
+    if isinstance(model.encoder, Zipformer2):
+        import json
+        enc = model.encoder
+        metric_cfg = task.config.get("metric", {})
+        chunk = int(metric_cfg.get("streaming_chunk_size", 16))
+        left = int(metric_cfg.get("streaming_left_chunks", 4))
+        state0 = enc.apply({"params": f32_params["encoder"]}, 1, chunk,
+                           left, method=Zipformer2.init_streaming_state)
+        state0.pop("chunk_size", None)
+        leaves, treedef = jax.tree_util.tree_flatten(state0)
+
+        def stream_fn(feats_chunk, *state_leaves):
+            st = jax.tree_util.tree_unflatten(treedef, state_leaves)
+            st["chunk_size"] = chunk
+            enc_out, new_state = enc.apply(
+                {"params": f32_params["encoder"]}, feats_chunk, st,
+                method=Zipformer2.streaming_step)
+            new_state.pop("chunk_size", None)
+            return (enc_out,) + tuple(jax.tree_util.tree_leaves(new_state))
+
+        feats_chunk = jnp.zeros((1, 2 * chunk, feat_dim), jnp.float32)
+        state_names = [f"state_{i}" for i in range(len(leaves))]
+        emit("encoder_stream", stream_fn, (feats_chunk, *leaves),
+             ["feats_chunk"] + state_names,
+             ["encoder_out"] + [f"new_{n}" for n in state_names],
+             ("MatMul",))
+        spec = {
+            "chunk_size": chunk,
+            "left_context_chunks": left,
+            "feats_per_step": 2 * chunk,
+            "state": [{"name": n, "shape": list(l.shape),
+                       "dtype": str(l.dtype)}
+                      for n, l in zip(state_names, leaves)],
+        }
+        spec_path = os.path.join(export_dir, "encoder_stream_spec.json")
+        with open(spec_path, "w") as f:
+            json.dump(spec, f, indent=1)
+        out["encoder_stream_spec"] = spec_path
+
+    tok = tokenizer if tokenizer is not None else getattr(
+        task, "tokenizer", None)
+    if tok is not None:
+        units = os.path.join(export_dir, "units.txt")
+        tok.export_units(units)
+        out["units"] = units
+    return out
+
+
 # ---------------------------------------------------------------- int8 quant
 def quantize_params(params, min_size: int = 1024):
     """Symmetric per-output-channel int8 weights-only quantization.
