@@ -115,12 +115,13 @@ def main():
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
     tx = scaled_adam(learning_rate=1e-3)
 
-    # B=96 is the measured throughput optimum on v5e (round-3 sweep,
-    # docs/evidence/microbench_segments.json: B=24→596, B=48→682,
-    # B=64→711, B=96→731 utt/s/chip; the round-1 "B=32 memory cliff" is
-    # long gone). Larger batches amortize the batch-free rel-pos window
-    # tensors and keep the MXU busier per HBM byte.
-    B = int(os.environ.get("BENCH_B", 96))
+    # B=128 is the measured throughput optimum on v5e (round-4 extended
+    # sweep with the flash-weights kernel, docs/evidence/r4_perf_ab.json:
+    # B=96→754, B=128→821, B=144→703, B=160→698, B=192→702 utt/s/chip —
+    # a sharp cliff right past 128 as activations start spilling).
+    # Larger batches amortize the batch-free rel-pos window tensors and
+    # keep the MXU busier per HBM byte, until HBM pressure bites.
+    B = int(os.environ.get("BENCH_B", 128))
     SECS, U = 10, 48
     N = SECS * 16000
     rng = np.random.default_rng(0)
