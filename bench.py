@@ -84,12 +84,17 @@ def main():
     # remat off by default: B=24 fits HBM without it and the step is ~9%
     # faster (104.8 vs 114.7 ms measured on v5e); BENCH_REMAT=1 re-enables.
     remat = os.environ.get("BENCH_REMAT", "0") != "0"
+    # BENCH_REMAT_POLICY=dots: selective remat (save matmul outputs +
+    # attention weights, recompute elementwise) — targets the B>128
+    # activation-spill cliff without full-remat's recompute cost.
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
     # scan-over-layers measured 11% slower per step (116.5 vs 104.8 ms) and
     # barely smaller serialized (68.6 vs 70.5 MB — the executable-size win
     # came from passing the batch as arguments, not from layer dedup), so
     # the bench unrolls by default; BENCH_SCAN=1 to flip.
     scan = os.environ.get("BENCH_SCAN", "0") != "0"
     cfg = _flagship_config(vocab, dtype=dtype, remat=remat)
+    cfg["encoder"]["config"]["remat_policy"] = remat_policy
     cfg["encoder"]["config"]["scan_layers"] = scan
     # fused Pallas attention-WEIGHTS kernel (scores never hit HBM; see
     # ops/pallas/flash_attn.py). Round-4 A/B at the B=96 default: 128.0 vs

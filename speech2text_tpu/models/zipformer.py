@@ -420,9 +420,15 @@ class AttentionWeights(nn.Module):
         scores = jnp.clip(scores, -100.0, 100.0)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
+        from jax.ad_checkpoint import checkpoint_name
+
         from ..stopgrad_probe import tag
-        return tag(jax.nn.softmax(scores, axis=-1).astype(self.dtype),
-                   "attn_weights")
+        # checkpoint_name: under the selective remat policy ("dots") the
+        # weights are force-saved — recomputing them would redo the whole
+        # score pipeline. No-op outside jax.checkpoint.
+        return checkpoint_name(
+            tag(jax.nn.softmax(scores, axis=-1).astype(self.dtype),
+                "attn_weights"), "attn_weights")
 
     def fused(self, x, pos_emb, attn_mask=None):
         """Fused Pallas weights (ops/pallas/flash_attn.zip_weights): one
@@ -434,10 +440,14 @@ class AttentionWeights(nn.Module):
         fused path is strictly more precise)."""
         B, T, D = x.shape
         q, k, qp, p = self.project(x, pos_emb)
+        from jax.ad_checkpoint import checkpoint_name
+
         from ..ops.pallas.flash_attn import zip_weights
         from ..stopgrad_probe import tag
-        return tag(zip_weights(q, k, qp, p, attn_mask,
-                               w_dtype=self.dtype), "attn_weights")
+        return checkpoint_name(
+            tag(zip_weights(q, k, qp, p, attn_mask,
+                            w_dtype=self.dtype), "attn_weights"),
+            "attn_weights")
 
     def step(self, x_chunk, pos_emb_table, cached_k, valid_cache):
         """Streaming: queries = chunk (C), keys = [cache (L) | chunk].
@@ -845,10 +855,26 @@ class Zipformer2Stack(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # "full": classic remat (save only layer inputs, recompute everything).
+    # "dots": selective — save every matmul/einsum output plus the named
+    # attention weights; recompute only cheap elementwise chains (GLU,
+    # Swoosh, norms, masks) and the depthwise conv in the backward pass.
+    # Targets the B>128 activation-spill cliff (docs/evidence/
+    # r4_perf_ab.json batch sweep) without full-remat's recompute cost.
+    remat_policy: str = "full"
     dynamics: bool = False
     scan_layers: bool = False
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
+
+    def _remat_kwargs(self):
+        kw = {"static_argnums": (5,)}
+        if self.remat_policy == "dots":
+            cp = jax.checkpoint_policies
+            kw["policy"] = cp.save_from_both_policies(
+                cp.dots_saveable,
+                cp.save_only_these_names("attn_weights"))
+        return kw
 
     def setup(self):
         layer_args = (self.embed_dim, self.ff_dim, self.num_heads,
@@ -859,7 +885,7 @@ class Zipformer2Stack(nn.Module):
         if self.scan_layers and self.num_layers > 1:
             body = _ScanLayer
             if self.remat:
-                body = nn.remat(body, static_argnums=(5,))
+                body = nn.remat(body, **self._remat_kwargs())
             self.layers_scan = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -871,7 +897,7 @@ class Zipformer2Stack(nn.Module):
             layer_cls = Zipformer2EncoderLayer
             if self.remat:
                 layer_cls = nn.remat(Zipformer2EncoderLayer,
-                                     static_argnums=(5,))
+                                     **self._remat_kwargs())
             self.layers = [
                 layer_cls(*layer_args, name=f"layer{i}")
                 for i in range(self.num_layers)
@@ -1024,6 +1050,10 @@ class Zipformer2Config:
     ctc_out_dim: int = -1
     dtype: str = "float32"
     remat: bool = False
+    # remat flavor when `remat` is on: "full" (save layer inputs only) or
+    # "dots" (save matmul outputs + attention weights, recompute cheap
+    # elementwise/depthwise-conv chains) — see Zipformer2Stack.remat_policy
+    remat_policy: str = "full"
     # icefall training dynamics: skip-rate/bypass schedules + per-module
     # Balancer/Whiten placements (reference zipformer.py:937-950,1015-1072)
     dynamics: bool = False
@@ -1082,6 +1112,7 @@ class Zipformer2(nn.Module):
                 dropout=cfg.dropout,
                 dtype=dt,
                 remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
                 dynamics=cfg.dynamics,
                 scan_layers=cfg.scan_layers,
                 flash=cfg.use_flash_attn,

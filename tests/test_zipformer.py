@@ -201,6 +201,48 @@ def test_remat_dynamics_traced_step_grad():
         assert np.isfinite(total) and total > 0
 
 
+def test_remat_policy_dots_grad_parity(setup):
+    """Selective remat (remat_policy="dots": save matmul outputs + the
+    named attention weights, recompute elementwise) must be a pure memory
+    schedule change — loss and grads identical to the no-remat path."""
+    import dataclasses
+    m0, x, lens, params = setup
+
+    def loss_fn(m):
+        def f(p):
+            y, _ = m.apply({"params": p}, x, lens)
+            return (y.astype(jnp.float32) ** 2).mean()
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(m0))(params)
+    md = Zipformer2(dataclasses.replace(TINY, remat=True,
+                                        remat_policy="dots"))
+    ld, gd = jax.value_and_grad(loss_fn(md))(params)
+    np.testing.assert_allclose(float(l0), float(ld), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # scan-over-layers branch (needs >1 layer per stack to engage)
+    cfg2 = dataclasses.replace(
+        TINY, downsampling_factor=(1, 2), num_encoder_layers=(2, 2),
+        feedforward_dim=(64, 64), encoder_dim=(32, 48),
+        encoder_unmasked_dim=(24, 24), num_heads=(2, 2),
+        cnn_module_kernel=(7, 7), scan_layers=True)
+    ms = Zipformer2(cfg2)
+    ps = ms.init({"params": jax.random.PRNGKey(7)}, x, lens)["params"]
+    ls, gs = jax.value_and_grad(loss_fn(ms))(ps)
+    msd = Zipformer2(dataclasses.replace(cfg2, remat=True,
+                                         remat_policy="dots"))
+    lsd, gsd = jax.value_and_grad(loss_fn(msd))(ps)
+    np.testing.assert_allclose(float(ls), float(lsd), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gsd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_score_dtype_bf16_close_to_f32(setup):
     """score_dtype="bfloat16" only changes the dtype the two score
     einsums write (clip/mask/softmax stay f32); the encoder output must
