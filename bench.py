@@ -87,7 +87,17 @@ def main():
     # BENCH_REMAT_POLICY=dots: selective remat (save matmul outputs +
     # attention weights, recompute elementwise) — targets the B>128
     # activation-spill cliff without full-remat's recompute cost.
+    # Setting a non-"full" policy implies remat: auto-enable it so an A/B
+    # run can't silently measure no-remat while believing dots is active.
     remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
+    if remat_policy != "full" and not remat:
+        if "BENCH_REMAT" in os.environ:
+            log(f"WARNING: BENCH_REMAT=0 overrides "
+                f"BENCH_REMAT_POLICY={remat_policy}; remat stays OFF")
+            remat_policy = "full"
+        else:
+            log(f"BENCH_REMAT_POLICY={remat_policy}: auto-enabling remat")
+            remat = True
     # scan-over-layers measured 11% slower per step (116.5 vs 104.8 ms) and
     # barely smaller serialized (68.6 vs 70.5 MB — the executable-size win
     # came from passing the batch as arguments, not from layer dedup), so
@@ -207,13 +217,101 @@ def main():
     frames_per_sec = float(feat_lens.sum()) * n_iters / dt
     log(f"done: {dt:.2f}s for {n_iters} steps "
         f"({dt / n_iters * 1e3:.1f} ms/step)")
-    print(json.dumps({
+
+    result = {
         "metric": "utterances/sec/chip (zipformer pruned-RNN-T train step, "
                   f"B={B}, {SECS}s utts; frames/sec={frames_per_sec:.0f})",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utts_per_sec / TARGET, 4),
-    }))
+    }
+
+    # ---- bucketed replay: the shape mix training actually sees ----------
+    # The fixed-shape headline above measures one flattering (B, T); real
+    # flagship training runs the bucket table (num_bucket=8, volume 600 s,
+    # min_batch 16 — configs/training/zipformer_stateless_pruned_rnnt.yaml)
+    # over variable-length utterances. Replay that table: durations drawn
+    # LibriSpeech-like (normal μ=11 s σ=3.5 clipped to [2, 16.7] s), per-
+    # bucket static shapes from the SAME build_bucket_specs the training
+    # pipeline uses, per-utterance true lengths inside each bucket (so
+    # padding/masking costs are real), steps allocated ∝ each bucket's
+    # share of corpus audio (= its emission probability under the
+    # constant-volume batcher). BENCH_BUCKETED=0 skips.
+    if os.environ.get("BENCH_BUCKETED", "1") != "0":
+        from speech2text_tpu.data.batcher import build_bucket_specs
+        drng = np.random.default_rng(7)
+        durs = np.clip(drng.normal(11.0, 3.5, 2000), 2.0, 16.7)
+        toks = np.maximum(1, (durs * 4.8).astype(np.int64))
+        specs = build_bucket_specs(durs, toks, num_buckets=8,
+                                   volume_threshold=600.0,
+                                   min_batch_size=16)
+        edges = [0.0] + [s.hi_duration for s in specs]
+        shares = np.asarray([
+            durs[(durs > lo) & (durs <= hi)].sum()
+            for lo, hi in zip(edges[:-1], edges[1:])])
+        shares = shares / shares.sum()
+        total_steps = int(os.environ.get("BENCH_BUCKETED_STEPS", 20))
+        ks = np.maximum(1, np.rint(shares * total_steps).astype(int))
+
+        batches = []
+        for s, k in zip(specs, ks):
+            b = s.batch_size
+            u_durs = drng.uniform(max(edges[specs.index(s)], 2.0),
+                                  s.hi_duration, b)
+            p_lens = np.minimum((u_durs * 16000).astype(np.int32),
+                                s.pcm_len)
+            l_lens = np.minimum((u_durs * 4.8).astype(np.int32) + 1,
+                                s.label_len)
+            batches.append((
+                jnp.asarray(drng.standard_normal((b, s.pcm_len)) * 0.1,
+                            jnp.float32),
+                jnp.asarray(p_lens),
+                jnp.asarray(drng.integers(1, vocab, (b, s.label_len)),
+                            jnp.int32),
+                jnp.asarray(l_lens), int(k), s))
+
+        log(f"bucketed replay: {len(batches)} bucket programs, "
+            f"{int(ks.sum())} steps "
+            f"(B={[s.batch_size for s in specs]}, "
+            f"pcm_s={[s.pcm_len // 16000 for s in specs]})")
+        # warmup/compile each bucket program; fenced per bucket for a
+        # per-bucket ms/step log line (evidence), then one unfenced pass
+        # for the clean aggregate number.
+        per_bucket = []
+        for pcm_b, pl_b, lb_b, ll_b, k, s in batches:
+            t0 = time.perf_counter()
+            params, opt_state, key, loss = run_k(
+                params, opt_state, key, k, pcm_b, pl_b, lb_b, ll_b)
+            float(loss)  # compile+run fence
+            t_cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            params, opt_state, key, loss = run_k(
+                params, opt_state, key, k, pcm_b, pl_b, lb_b, ll_b)
+            float(loss)
+            t_warm = time.perf_counter() - t0
+            per_bucket.append({"B": s.batch_size,
+                               "pcm_s": s.pcm_len // 16000,
+                               "steps": k,
+                               "ms_per_step": round(t_warm / k * 1e3, 1)})
+            log(f"  bucket B={s.batch_size:3d} {s.pcm_len // 16000:2d}s "
+                f"x{k}: {t_warm / k * 1e3:6.1f} ms/step "
+                f"(first pass {t_cold:.1f}s)")
+        t0 = time.perf_counter()
+        for pcm_b, pl_b, lb_b, ll_b, k, s in batches:
+            params, opt_state, key, loss = run_k(
+                params, opt_state, key, k, pcm_b, pl_b, lb_b, ll_b)
+        bkt_loss = float(loss)  # single fence after all buckets
+        bdt = time.perf_counter() - t0
+        assert np.isfinite(bkt_loss), f"non-finite bucketed loss {bkt_loss}"
+        n_utts = sum(s.batch_size * k for *_x, k, s in batches)
+        bkt_rate = n_utts / bdt
+        log(f"bucketed: {bdt:.2f}s for {int(ks.sum())} steps, "
+            f"{n_utts} utts -> {bkt_rate:.1f} utt/s/chip")
+        result["bucketed_utt_per_sec"] = round(bkt_rate, 3)
+        result["bucketed_vs_baseline"] = round(bkt_rate / TARGET, 4)
+        result["bucketed_detail"] = per_bucket
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -213,11 +213,12 @@ def export_onnx_modules(task, params, export_dir: str,
                    if jnp.issubdtype(a.dtype, jnp.floating) else a), params)
     out: Dict[str, str] = {}
 
-    def emit(name, fn, args, input_names, output_names, quant_ops):
+    def emit(name, fn, args, input_names, output_names, quant_ops,
+             metadata=None):
         data = convert(fn, args, name, input_names=input_names,
                        output_names=output_names,
                        metadata={"framework": "speech2text_tpu",
-                                 "module": name})
+                                 "module": name, **(metadata or {})})
         path = os.path.join(export_dir, f"{name}.onnx")
         with open(path, "wb") as f:
             f.write(data)
@@ -232,22 +233,37 @@ def export_onnx_modules(task, params, export_dir: str,
             out[f"{name}_int8"] = qpath
         return out
 
+    # sherpa-onnx metadata contract: decode-critical key/value pairs are
+    # embedded IN the ModelProto's metadata_props, exactly like the
+    # reference's onnx.metadata_props.add() (zipformer.py:762-776,887-898,
+    # stateless_predictor.py:218-222, joiner.py:293-295) — a sherpa-style
+    # consumer reads them at model-load time, no sidecar needed.
+    is_zip = isinstance(model.encoder, Zipformer2)
+    enc_meta = ({"model_type": "zipformer2", "version": "1",
+                 "comment": "non-streaming zipformer2"} if is_zip else {})
     feats = jnp.zeros((1, max_frames, feat_dim), jnp.float32)
     lens = jnp.asarray([max_frames], jnp.int32)
     emit("encoder",
          lambda f, l: model.apply({"params": f32_params}, f, l,
                                   method=RnntModel.encode),
          (feats, lens), ["feats", "feat_lens"],
-         ["encoder_out", "encoder_out_lens"], ("MatMul",))
+         ["encoder_out", "encoder_out_lens"], ("MatMul",),
+         metadata=enc_meta)
 
+    pred_cfg = task.config.get("predictor", {}).get("config", {})
     state = model.predictor.init_state(1)
     token = jnp.zeros((1,), jnp.int32)
     n_state = len(jax.tree_util.tree_leaves(state))
+    pred_meta = {}
+    if "context_size" in pred_cfg:
+        pred_meta["context_size"] = str(pred_cfg["context_size"])
+    if "num_symbols" in pred_cfg:
+        pred_meta["vocab_size"] = str(pred_cfg["num_symbols"])
     emit("predictor",
          lambda t, s: model.apply({"params": f32_params}, t, s,
                                   method=RnntModel.predictor_step),
          (token, state), ["token"] + [f"state_{i}" for i in range(n_state)],
-         None, ("MatMul", "Gather"))
+         None, ("MatMul", "Gather"), metadata=pred_meta)
 
     d = task.config["joiner"]["input_dim"]
     enc_frame = jnp.zeros((1, d), jnp.float32)
@@ -256,7 +272,7 @@ def export_onnx_modules(task, params, export_dir: str,
          lambda a, b: model.apply({"params": f32_params}, a, b,
                                   method=RnntModel.joiner_step),
          (enc_frame, pred_out), ["encoder_frame", "predictor_out"],
-         ["logit"], ("MatMul",))
+         ["logit"], ("MatMul",), metadata={"joiner_dim": str(d)})
 
     # streaming encoder graph (the reference's encoder.onnx is the
     # streaming one — sherpa-onnx drives it chunk by chunk). State is a
@@ -286,10 +302,39 @@ def export_onnx_modules(task, params, export_dir: str,
 
         feats_chunk = jnp.zeros((1, 2 * chunk, feat_dim), jnp.float32)
         state_names = [f"state_{i}" for i in range(len(leaves))]
+        # sherpa streaming metadata (reference zipformer.py:762-776):
+        # per-stack lists comma-joined; scalar head dims are broadcast to
+        # per-stack form as sherpa expects one entry per stack.
+        # decode_chunk_len/T = feature frames consumed per step — unlike
+        # the reference graph there is no overlap re-feed (the
+        # Conv2dSubsampling left context lives in the exported state), so
+        # T == decode_chunk_len.
+        zcfg = enc.config
+        n_stacks = len(zcfg.encoder_dim)
+
+        def join(xs):
+            return ",".join(map(str, xs))
+
+        left_frames = left * chunk
+        stream_meta = {
+            "model_type": "zipformer2",
+            "version": "1",
+            "comment": "streaming zipformer2",
+            "decode_chunk_len": str(2 * chunk),
+            "T": str(2 * chunk),
+            "num_encoder_layers": join(zcfg.num_encoder_layers),
+            "encoder_dims": join(zcfg.encoder_dim),
+            "cnn_module_kernels": join(zcfg.cnn_module_kernel),
+            "left_context_len": join(
+                left_frames // k for k in zcfg.downsampling_factor),
+            "query_head_dims": join([zcfg.query_head_dim] * n_stacks),
+            "value_head_dims": join([zcfg.value_head_dim] * n_stacks),
+            "num_heads": join(zcfg.num_heads),
+        }
         emit("encoder_stream", stream_fn, (feats_chunk, *leaves),
              ["feats_chunk"] + state_names,
              ["encoder_out"] + [f"new_{n}" for n in state_names],
-             ("MatMul",))
+             ("MatMul",), metadata=stream_meta)
         spec = {
             "chunk_size": chunk,
             "left_context_chunks": left,

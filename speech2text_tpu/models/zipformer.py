@@ -333,6 +333,12 @@ class AttentionWeights(nn.Module):
     # the rel-shift reindex + transpose; the add/clip/mask/softmax still
     # run in f32 (upcast fuses into the consumer, costing no extra HBM).
     score_dtype: jnp.dtype = jnp.float32
+    # smallest (static, trace-time) batch at which `fused` actually uses
+    # the Pallas kernel; below it, per-kernel overheads aren't amortized
+    # and the kernel LOSES (B=24: 42.1 vs 40.3 ms/step; B=96: 128.0 vs
+    # 131.3 — docs/evidence/r4_perf_ab.json), so `fused` silently routes
+    # to the materialized path. 0 forces the kernel (tests).
+    flash_min_batch: int = 48
 
     def setup(self):
         H, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
@@ -437,8 +443,16 @@ class AttentionWeights(nn.Module):
         round trips of `__call__` never happen. All consumers reuse the
         result exactly like the materialized path. Scores are computed in
         f32 in-kernel (score_dtype's bf16 rounding doesn't apply — the
-        fused path is strictly more precise)."""
+        fused path is strictly more precise).
+
+        Batch dispatch: B is static at trace time (one program per
+        bucket shape), so when B < flash_min_batch this falls back to
+        the materialized path — the kernel's per-invocation overheads
+        only win past the measured B≈48 crossover
+        (docs/evidence/r4_perf_ab.json)."""
         B, T, D = x.shape
+        if B < self.flash_min_batch:
+            return self(x, pos_emb, attn_mask)
         q, k, qp, p = self.project(x, pos_emb)
         from jax.ad_checkpoint import checkpoint_name
 
@@ -639,12 +653,14 @@ class Zipformer2EncoderLayer(nn.Module):
     # softmax in one kernel, weights written once (ops/pallas/flash_attn)
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
+    flash_min_batch: int = 48
 
     def setup(self):
         D = self.embed_dim
         self.attn_weights = AttentionWeights(
             D, self.num_heads, self.query_head_dim, self.pos_head_dim,
-            self.pos_dim, self.dtype, score_dtype=self.score_dtype)
+            self.pos_dim, self.dtype, score_dtype=self.score_dtype,
+            flash_min_batch=self.flash_min_batch)
         self.ff1 = FeedforwardModule(self.ff_dim * 3 // 4, self.dtype)
         self.nonlin_attn = NonlinAttention(D, D * 3 // 4, self.dtype)
         self.self_attn1 = SelfAttention(D, self.num_heads,
@@ -866,10 +882,21 @@ class Zipformer2Stack(nn.Module):
     scan_layers: bool = False
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
+    flash_min_batch: int = 48
 
     def _remat_kwargs(self):
         kw = {"static_argnums": (5,)}
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(
+                f"remat_policy must be 'full' or 'dots', got "
+                f"{self.remat_policy!r}")
         if self.remat_policy == "dots":
+            # NOTE: designed for the fused (use_flash_attn) path, where
+            # the only (B,H,T,T) residual is the named weights (the
+            # pallas_call is not a dot, so dots_saveable skips it). On
+            # the materialized path dots_saveable ALSO saves the two raw
+            # score einsum outputs — three T² buffers/layer, defeating
+            # the spill-reduction goal; prefer "full" there.
             cp = jax.checkpoint_policies
             kw["policy"] = cp.save_from_both_policies(
                 cp.dots_saveable,
@@ -881,7 +908,7 @@ class Zipformer2Stack(nn.Module):
                       self.query_head_dim, self.value_head_dim,
                       self.pos_head_dim, self.pos_dim, self.kernel_size,
                       self.causal, self.dropout, self.dtype, self.dynamics,
-                      self.flash, self.score_dtype)
+                      self.flash, self.score_dtype, self.flash_min_batch)
         if self.scan_layers and self.num_layers > 1:
             body = _ScanLayer
             if self.remat:
@@ -1066,6 +1093,11 @@ class Zipformer2Config:
     # streaming .step keeps the materialized path — its windows are small.
     # Same math (f32 in-kernel scores), tolerance-tested.
     use_flash_attn: bool = False
+    # static-batch crossover for the fused kernel: programs traced with
+    # B < this use the materialized path even when use_flash_attn is on
+    # (the kernel loses below B≈48 — docs/evidence/r4_perf_ab.json), so
+    # small-batch recipes can't silently regress. 0 forces the kernel.
+    flash_min_batch: int = 48
     # "bfloat16" halves HBM traffic of the two big attention-score
     # tensors (einsum outputs) while keeping clip/mask/softmax in f32 —
     # see AttentionWeights.score_dtype. f32 default = bit-exact legacy.
@@ -1118,6 +1150,7 @@ class Zipformer2(nn.Module):
                 flash=cfg.use_flash_attn,
                 score_dtype=(jnp.bfloat16 if cfg.score_dtype == "bfloat16"
                              else jnp.float32),
+                flash_min_batch=cfg.flash_min_batch,
                 name=f"stack{i}")
             for i in range(len(cfg.encoder_dim))
         ]

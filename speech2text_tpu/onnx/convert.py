@@ -264,8 +264,11 @@ def _h_convert(ctx, eqn, invals):
     return [_out_val(ctx, eqn, out)]
 
 
-@_register("stop_gradient", "copy")
+@_register("stop_gradient", "copy", "name")
 def _h_identity(ctx, eqn, invals):
+    # "name": jax.ad_checkpoint.checkpoint_name tags (remat policy
+    # bookkeeping, e.g. the zipformer's "attn_weights") — pure identity
+    # outside jax.checkpoint, so it lowers to Identity.
     (out,) = ctx.b.add_node("Identity", [ctx.name_of(invals[0])])
     return [_out_val(ctx, eqn, out)]
 

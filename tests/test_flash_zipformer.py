@@ -34,8 +34,30 @@ def _models(causal):
         chunk_size=(8,) if causal else (-1,),
         left_context_frames=(16,) if causal else (-1,))
     base = Zipformer2(cfg)
-    flash = Zipformer2(dataclasses.replace(cfg, use_flash_attn=True))
+    # flash_min_batch=0: force the Pallas kernel at these tiny test
+    # batches (the production default 48 would route B=2 back to the
+    # materialized path and the parity tests would compare it to itself)
+    flash = Zipformer2(dataclasses.replace(cfg, use_flash_attn=True,
+                                           flash_min_batch=0))
     return base, flash
+
+
+@pytest.mark.parametrize("B,expect_kernel", [(2, False), (64, True)])
+def test_flash_min_batch_dispatch(B, expect_kernel):
+    """With the production flash_min_batch default, small-batch programs
+    must trace the materialized path (no pallas_call in the jaxpr) and
+    large-batch programs the fused kernel — the measured B≈48 crossover
+    (docs/evidence/r4_perf_ab.json) encoded as trace-time dispatch."""
+    cfg = dataclasses.replace(TINY, use_flash_attn=True)
+    assert cfg.flash_min_batch == 48
+    model = Zipformer2(cfg)
+    x = jnp.zeros((B, 33, 80))
+    lens = jnp.full((B,), 33)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, lens)["params"]
+    jaxpr = jax.make_jaxpr(
+        lambda p: model.apply({"params": p}, x, lens))(params)
+    has_kernel = "pallas_call" in str(jaxpr)
+    assert has_kernel == expect_kernel
 
 
 @pytest.mark.parametrize("causal", [False, True])

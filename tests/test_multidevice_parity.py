@@ -12,7 +12,8 @@ import optax
 import pytest
 from jax.sharding import PartitionSpec as P
 
-from __graft_entry__ import _build_model, _example_batch, _tiny_config
+from __graft_entry__ import (_build_model, _example_batch, _flagship_config,
+                             _tiny_config)
 from speech2text_tpu.losses import Loss
 from speech2text_tpu.optim import scaled_adam
 from speech2text_tpu.parallel.mesh import (MeshConfig, batch_sharding,
@@ -25,14 +26,27 @@ pytestmark = pytest.mark.mesh
 STEPS = 12
 
 
-def _run_trajectory(data, model_axis, tp=False, fsdp=False):
+def _run_trajectory(data, model_axis, tp=False, fsdp=False,
+                    flagship=False, steps=STEPS):
     devices = jax.devices()[:data * model_axis]
     mesh = make_mesh(MeshConfig(data=data, model=model_axis),
                      devices=devices)
-    vocab = 64
-    model = _build_model(_tiny_config(vocab))
-    B = 8
-    feats, lens, labels, lab_lens = _example_batch(B, 64, 8, vocab, seed=5)
+    if flagship:
+        # full flagship dims (12 layers, dim-changing 192→256 stacks,
+        # ds 1/2/4/8/4/2) at short T — the shape class where padding and
+        # sharding bugs actually live (uneven T splits across 'data',
+        # convert_num_channels between stacks); VERDICT r4 Next #6.
+        vocab = 128
+        model = _build_model(_flagship_config(vocab))
+        B = 8
+        feats, lens, labels, lab_lens = _example_batch(B, 48, 8, vocab,
+                                                       seed=5)
+    else:
+        vocab = 64
+        model = _build_model(_tiny_config(vocab))
+        B = 8
+        feats, lens, labels, lab_lens = _example_batch(B, 64, 8, vocab,
+                                                       seed=5)
     params = model.init({"params": jax.random.PRNGKey(0)}, feats, lens,
                         labels, lab_lens)["params"]
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
@@ -72,7 +86,7 @@ def _run_trajectory(data, model_axis, tp=False, fsdp=False):
         lens = jax.device_put(lens, bsh)
         labels = jax.device_put(labels, bsh)
         lab_lens = jax.device_put(lab_lens, bsh)
-        for _ in range(STEPS):
+        for _ in range(steps):
             params, opt_state, loss = jstep(params, opt_state, feats, lens,
                                             labels, lab_lens)
             losses.append(float(loss))
@@ -100,3 +114,23 @@ def test_fsdp_tp_trajectory_matches_single_device():
         worst = max(worst, rel)
         assert rel < 5e-3, (jax.tree_util.keystr(path), rel)
     assert worst > 0.0  # sanity: we actually compared something
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_flagship_dims_fsdp_tp_trajectory_parity():
+    """Same FSDP+TP parity check at the FLAGSHIP encoder dims (12 layers,
+    192/256 dim-changing stacks, ds 1/2/4/8/4/2): short T, 3 steps —
+    catches the padding/sharding bug class that tiny dims can't (uneven
+    per-shard T after subsampling, channel-converting stack joins)."""
+    l1, p1 = _run_trajectory(data=1, model_axis=1, flagship=True, steps=3)
+    l8, p8 = _run_trajectory(data=4, model_axis=2, tp=True, fsdp=True,
+                             flagship=True, steps=3)
+    assert np.isfinite(l1).all() and np.isfinite(l8).all()
+    np.testing.assert_allclose(l8, l1, rtol=5e-3, atol=5e-3)
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(p8))
+    for path, leaf in flat1:
+        other = flat8[path]
+        denom = np.maximum(np.abs(leaf).max(), 1e-3)
+        rel = np.abs(leaf - other).max() / denom
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel)

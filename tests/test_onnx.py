@@ -339,6 +339,49 @@ def test_onnx_trio_artifacts(onnx_dir):
     assert len(units) == VOCAB
 
 
+def test_onnx_sherpa_metadata_props(onnx_dir):
+    """Decode-critical metadata is embedded IN the exported ModelProto's
+    metadata_props — the sherpa-onnx load-time contract (reference
+    zipformer.py:762-776,887-898, stateless_predictor.py:218-222,
+    joiner.py:293-295) — parsed back from the serialized bytes, not from
+    any sidecar. The int8 variants must carry the same props."""
+    from speech2text_tpu.onnx import proto
+
+    def meta(key):
+        with open(onnx_dir[key], "rb") as f:
+            return proto.parse_model(f.read()).metadata
+
+    ms = meta("encoder_stream")
+    assert ms["model_type"] == "zipformer2"
+    assert ms["version"] == "1"
+    assert ms["decode_chunk_len"] == "16"       # 2 × chunk_size 8
+    assert ms["T"] == "16"
+    assert ms["num_encoder_layers"] == "1,1"
+    assert ms["encoder_dims"] == "32,32"
+    assert ms["cnn_module_kernels"] == "7,7"
+    # left 4 chunks × 8 frames = 32, divided by per-stack ds (1, 2)
+    assert ms["left_context_len"] == "32,16"
+    assert ms["query_head_dims"] == "8,8"
+    assert ms["value_head_dims"] == "8,8"
+    assert ms["num_heads"] == "2,2"
+
+    me = meta("encoder")
+    assert me["model_type"] == "zipformer2"
+    assert me["comment"] == "non-streaming zipformer2"
+
+    mp = meta("predictor")
+    assert mp["context_size"] == "2"
+    assert mp["vocab_size"] == str(VOCAB)
+
+    assert meta("joiner")["joiner_dim"] == "32"
+
+    # dynamic-int8 rewrite preserves the metadata contract
+    mq = meta("encoder_stream_int8")
+    assert mq["model_type"] == "zipformer2"
+    assert mq["decode_chunk_len"] == "16"
+    assert meta("predictor_int8")["vocab_size"] == str(VOCAB)
+
+
 def test_onnx_encoder_parity(task_and_params, onnx_dir):
     from speech2text_tpu.tasks.rnnt import RnntModel
     task, params = task_and_params

@@ -243,6 +243,19 @@ def test_remat_policy_dots_grad_parity(setup):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_remat_policy_typo_rejected(setup):
+    """A remat_policy typo ("dot", "Dots", ...) must raise, not silently
+    fall back to full remat (same strictness as from_dict unknown-key
+    validation)."""
+    import dataclasses
+    _, x, lens, params = setup
+    for bad in ("dot", "Dots", "none"):
+        m = Zipformer2(dataclasses.replace(TINY, remat=True,
+                                           remat_policy=bad))
+        with pytest.raises(ValueError, match="remat_policy"):
+            m.apply({"params": params}, x, lens)
+
+
 def test_score_dtype_bf16_close_to_f32(setup):
     """score_dtype="bfloat16" only changes the dtype the two score
     einsums write (clip/mask/softmax stay f32); the encoder output must

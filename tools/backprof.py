@@ -58,7 +58,11 @@ def main():
     from speech2text_tpu import stopgrad_probe
 
     vocab = 128
-    cfg = _flagship_config(vocab, dtype="bfloat16")
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
+    remat = (os.environ.get("BENCH_REMAT", "0") != "0"
+             or remat_policy != "full")
+    cfg = _flagship_config(vocab, dtype="bfloat16", remat=remat)
+    cfg["encoder"]["config"]["remat_policy"] = remat_policy
     cfg["encoder"]["config"]["score_dtype"] = \
         os.environ.get("BENCH_SCORE_DTYPE", "bfloat16")
     cfg["encoder"]["config"]["use_flash_attn"] = \

@@ -56,9 +56,15 @@ def main():
     from speech2text_tpu.optim import scaled_adam
 
     vocab = 128
-    cfg = _flagship_config(vocab, dtype="bfloat16")
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
+    remat = (os.environ.get("BENCH_REMAT", "0") != "0"
+             or remat_policy != "full")
+    cfg = _flagship_config(vocab, dtype="bfloat16", remat=remat)
+    cfg["encoder"]["config"]["remat_policy"] = remat_policy
     cfg["encoder"]["config"]["score_dtype"] = \
         os.environ.get("BENCH_SCORE_DTYPE", "bfloat16")
+    cfg["encoder"]["config"]["use_flash_attn"] = \
+        os.environ.get("BENCH_FLASH", "0") != "0"
     model = _build_model(cfg)
     fbank = Fbank(FbankConfig(num_mel_bins=80, snip_edges=True))
     loss_obj = Loss({"model": "Pruned_Rnnt", "config": {}})
