@@ -54,21 +54,29 @@ class StatelessPredictor(nn.Module):
         self.embed = nn.Embed(cfg.num_symbols, cfg.symbol_embedding_dim,
                               dtype=_dt(cfg.dtype))
         if cfg.context_size > 1:
+            # bias-free like the reference (stateless_predictor.py:46-55);
+            # a conv bias would be redundant with the output Dense's bias
             self.conv = nn.Conv(features=cfg.symbol_embedding_dim,
                                 kernel_size=(cfg.context_size,),
-                                padding="VALID",
+                                padding="VALID", use_bias=False,
                                 feature_group_count=cfg.symbol_embedding_dim,
                                 dtype=_dt(cfg.dtype))
         self.out = nn.Dense(cfg.output_dim, dtype=_dt(cfg.dtype))
 
     def _net(self, tokens: jnp.ndarray) -> jnp.ndarray:
         """tokens (B, L) already left-padded with context: returns (B, L', D)
-        where L' = L - (context_size - 1)."""
+        where L' = L - (context_size - 1).
+
+        No activation between conv and the output linear — matching the
+        reference exactly (stateless_predictor.py:75-99: embedding →
+        depthwise conv → output_linear; the joiner applies the only
+        nonlinearity, joiner.py:44-49). icefall's Decoder has a ReLU here;
+        this reference does not, and the converted-weight parity oracle
+        (tests/test_zipformer_ref_oracle.py) pins the reference's form."""
         cfg = self.config
         h = self.embed(tokens)
         if cfg.context_size > 1:
             h = self.conv(h)
-        h = nn.relu(h)
         return self.out(h).astype(jnp.float32)
 
     def __call__(self, targets: jnp.ndarray,

@@ -298,13 +298,40 @@ class Conv2dSubsampling(nn.Module):
 # ------------------------------------------------------------- attention
 class CompactRelPositionalEncoding(nn.Module):
     """Compact relative positional embedding: log-compressed offsets →
-    Fourier features (reference zipformer.py:1722-1833)."""
+    Fourier features (reference zipformer.py:1722-1833).
+
+    `variant`:
+      - "fourier" (default): this repo's own basis — log-compressed offset
+        × geometric frequency ladder, sin‖cos concatenated.
+      - "icefall": bit-parity with the reference's formula
+        (zipformer.py:1765-1813: atan(log-compressed/length_scale) phase,
+        integer freqs, interleaved cos/sin, trailing bias channel 1.0).
+        Used by the reference-weight parity oracle
+        (tests/test_zipformer_ref_oracle.py): with converted reference
+        weights the attention pos-scores match the torch model exactly.
+        Note the sign flip: this repo indexes the table by
+        (query−key) offset everywhere, the reference by (key−query)."""
     pos_dim: int = 48
+    variant: str = "fourier"
 
     def table(self, max_offset: int) -> jnp.ndarray:
         """Embeddings for offsets −max_offset..max_offset
-        (shape (2·max_offset+1, pos_dim))."""
+        (shape (2·max_offset+1, pos_dim)); row o+max_offset is the
+        embedding consumed for query−key offset o."""
         x = jnp.arange(-max_offset, max_offset + 1, dtype=jnp.float32)
+        if self.variant == "icefall":
+            x = -x  # reference convention: row indexed by key−query
+            cl = float(self.pos_dim) ** 0.5
+            x_c = cl * jnp.sign(x) * (jnp.log(jnp.abs(x) + cl) - np.log(cl))
+            length_scale = self.pos_dim / (2.0 * np.pi)  # length_factor=1
+            phase = jnp.arctan(x_c / length_scale)
+            freqs = 1.0 + jnp.arange(self.pos_dim // 2, dtype=jnp.float32)
+            ang = phase[:, None] * freqs[None, :]
+            pe = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+            pe = pe.reshape(x.shape[0], self.pos_dim)
+            return pe.at[:, -1].set(1.0)
+        if self.variant != "fourier":
+            raise ValueError(f"unknown pos variant {self.variant!r}")
         compression = 8.0
         c = jnp.sign(x) * jnp.log1p(jnp.abs(x) / compression) * compression
         d = self.pos_dim // 2
@@ -883,6 +910,14 @@ class Zipformer2Stack(nn.Module):
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
     flash_min_batch: int = 48
+    pos_variant: str = "fourier"
+    # Reference semantics for the stack output bypass (zipformer.py:438-441
+    # + 1600-1650): src_orig is convert_num_channels(x) — the bypass scale
+    # applies over the FULL stack width, including channels zero-padded up
+    # from a narrower previous stack. This repo's default instead bypasses
+    # only the common channels and passes the new ones through unscaled.
+    # The parity oracle enables this to match the reference bit-for-bit.
+    full_dim_bypass: bool = False
 
     def _remat_kwargs(self):
         kw = {"static_argnums": (5,)}
@@ -931,7 +966,8 @@ class Zipformer2Stack(nn.Module):
             ]
         self.down = SimpleDownsample(self.downsample, name="downsample")
         self.up = SimpleUpsample(self.downsample)
-        self.penc = CompactRelPositionalEncoding(self.pos_dim)
+        self.penc = CompactRelPositionalEncoding(self.pos_dim,
+                                                 self.pos_variant)
         self.stack_bypass = BypassModule(name="stack_bypass")
 
     def __call__(self, x, lengths, attn_mask_fn, deterministic=True,
@@ -954,17 +990,20 @@ class Zipformer2Stack(nn.Module):
                           step)
         x = self.up(x, T)
         x = jnp.where(make_non_pad_mask(lengths, T)[..., None], x, 0.0)
-        d_common = min(D_in, self.embed_dim)
         if self.dynamics and not deterministic:
             from ..ops.regularizers import ScheduledFloat
             s = (step if step is not None
                  else jnp.asarray(10 ** 9, jnp.float32))
             smin = ScheduledFloat((0.0, 0.9), (20000.0, 0.2))(s)
-            out = self.stack_bypass(x_orig[..., :d_common],
-                                    x[..., :d_common], scale_min=smin)
         else:
-            out = self.stack_bypass(x_orig[..., :d_common],
-                                    x[..., :d_common])
+            smin = None
+        if self.full_dim_bypass:
+            return self.stack_bypass(
+                convert_num_channels(x_orig, self.embed_dim), x,
+                scale_min=smin)
+        d_common = min(D_in, self.embed_dim)
+        out = self.stack_bypass(x_orig[..., :d_common],
+                                x[..., :d_common], scale_min=smin)
         if self.embed_dim > d_common:
             out = jnp.concatenate([out, x[..., d_common:]], axis=-1)
         return out
@@ -1102,6 +1141,14 @@ class Zipformer2Config:
     # tensors (einsum outputs) while keeping clip/mask/softmax in f32 —
     # see AttentionWeights.score_dtype. f32 default = bit-exact legacy.
     score_dtype: str = "float32"
+    # relative-position embedding basis — "fourier" (this repo's default)
+    # or "icefall" (bit-parity with the reference formula; used together
+    # with full_dim_bypass by the reference-weight parity oracle,
+    # tests/test_zipformer_ref_oracle.py)
+    pos_variant: str = "fourier"
+    # reference semantics for the stack output bypass (see
+    # Zipformer2Stack.full_dim_bypass)
+    full_dim_bypass: bool = False
 
     @classmethod
     def from_config(cls, cfg: dict) -> "Zipformer2Config":
@@ -1151,6 +1198,8 @@ class Zipformer2(nn.Module):
                 score_dtype=(jnp.bfloat16 if cfg.score_dtype == "bfloat16"
                              else jnp.float32),
                 flash_min_batch=cfg.flash_min_batch,
+                pos_variant=cfg.pos_variant,
+                full_dim_bypass=cfg.full_dim_bypass,
                 name=f"stack{i}")
             for i in range(len(cfg.encoder_dim))
         ]
@@ -1174,10 +1223,21 @@ class Zipformer2(nn.Module):
                  chunk_size: Optional[jnp.ndarray] = None,
                  left_context_chunks: Optional[jnp.ndarray] = None,
                  step: Optional[jnp.ndarray] = None):
-        cfg = self.config
         x, lens = self.embed(feats, lengths)
         from ..stopgrad_probe import tag
         x = tag(x, "frontend")
+        return self.encode_embedded(x, lens, deterministic, chunk_size,
+                                    left_context_chunks, step)
+
+    def encode_embedded(self, x, lens, deterministic: bool = True,
+                        chunk_size: Optional[jnp.ndarray] = None,
+                        left_context_chunks: Optional[jnp.ndarray] = None,
+                        step: Optional[jnp.ndarray] = None):
+        """Encoder stacks on post-subsampling features (B, T, dim0) —
+        `__call__` minus the embed. Public so the reference-weight parity
+        oracle (tests/test_zipformer_ref_oracle.py) can drive the exact
+        stack chain the reference drives after its `_encoder_embed`."""
+        cfg = self.config
         B, T, _ = x.shape
 
         if not deterministic and cfg.feature_mask_dropout_prob > 0:

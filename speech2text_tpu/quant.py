@@ -92,9 +92,9 @@ class Int8StatelessPredictor:
         self.out_b = qt[f"{prefix}/out/bias"].dequant()
         self.ctx = context_size
         if context_size > 1:
-            # depthwise (ctx, 1, E) kernel → (ctx, E); fp32 (tiny)
+            # depthwise (ctx, 1, E) kernel → (ctx, E); fp32 (tiny).
+            # bias-free, like the reference (stateless_predictor.py:46-55)
             self.conv_w = qt[f"{prefix}/conv/kernel"].dequant()[:, 0, :]
-            self.conv_b = qt[f"{prefix}/conv/bias"].dequant()
 
     def init_state(self, batch_size: int) -> jnp.ndarray:
         return jnp.zeros((batch_size, max(self.ctx - 1, 1)), jnp.int32)
@@ -107,10 +107,11 @@ class Int8StatelessPredictor:
         if self.embed.is_quantized:
             h = h.astype(jnp.float32) * self.embed.scale
         if self.ctx > 1:
-            h = jnp.einsum("bte,te->be", h, self.conv_w) + self.conv_b
+            h = jnp.einsum("bte,te->be", h, self.conv_w)
         else:
             h = h[:, -1]
-        h = jax.nn.relu(h)
+        # no activation between conv and out — reference parity
+        # (stateless_predictor.py:75-99; the joiner holds the nonlinearity)
         out = quant_dense(h, self.out_w, self.out_b)            # (B, D)
         return out[:, None, :], tokens[:, 1:]
 
