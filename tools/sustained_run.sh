@@ -18,6 +18,7 @@ launch() {
     --max_steps="$MAX_STEPS" \
     --override task.name="$NAME" \
     --override trainer.val_check_interval=500 \
+    --override trainer.log_interval=10 \
     --override trainer.max_rss_gb=16 \
     >> "/tmp/${NAME}.launchlog" 2>&1 &
   echo $! > "/tmp/${NAME}.pid"
