@@ -19,7 +19,7 @@ launch() {
     --override task.name="$NAME" \
     --override trainer.val_check_interval=500 \
     --override trainer.log_interval=10 \
-    --override trainer.max_rss_gb=16 \
+    --override trainer.max_rss_gb="${MAX_RSS_GB:-28}" \
     >> "/tmp/${NAME}.launchlog" 2>&1 &
   echo $! > "/tmp/${NAME}.pid"
   echo "[sustained] launched pid $(cat /tmp/${NAME}.pid)"
