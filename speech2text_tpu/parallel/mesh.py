@@ -59,7 +59,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch with the batch axis sharded over 'data'.
-    Non-array leaves (strings for test reports) pass through."""
+    Non-array leaves (strings for test reports) pass through.
+
+    Single-device meshes use a plain uncommitted device_put: committing
+    inputs with NamedShardings routes every consumer jit through the SPMD
+    partitioner, which multiplies XLA compile time ~4x on the flagship
+    step (see train/loop.py sharding note)."""
+    if mesh.size == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x)
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, batch)
     sh = batch_sharding(mesh)
 
     def put(x):

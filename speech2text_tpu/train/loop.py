@@ -174,12 +174,19 @@ class Trainer:
                 train_pipe.skip_batches(step)
                 log.info("data pipeline fast-forwarded to batch %d", step)
 
-        # ---- shardings
-        p_shard = shard_params(self.mesh, params, fsdp=self.fsdp)
-        params = jax.device_put(params, p_shard)
-        o_shard = shard_params(self.mesh, opt_state, fsdp=self.fsdp)
-        opt_state = jax.device_put(opt_state, o_shard)
-        rep = replicated(self.mesh)
+        # ---- shardings. On a single-device mesh, skip them entirely:
+        # committing inputs with NamedShardings (or passing in_shardings)
+        # routes the whole step through the SPMD partitioner, which
+        # multiplies XLA compile time ~4x on the flagship zipformer step
+        # (measured: ~5 min plain vs ~20 min sharded, CPU and the axon
+        # compile service alike — tools/compile_probe.py / STATUS r5).
+        single = self.mesh.size == 1
+        if not single:
+            p_shard = shard_params(self.mesh, params, fsdp=self.fsdp)
+            params = jax.device_put(params, p_shard)
+            o_shard = shard_params(self.mesh, opt_state, fsdp=self.fsdp)
+            opt_state = jax.device_put(opt_state, o_shard)
+            rep = replicated(self.mesh)
 
         def train_step(params, opt_state, batch, rng, step_idx):
             def lf(p):
@@ -192,12 +199,15 @@ class Trainer:
             metrics["grad_norm"] = optax.global_norm(grads)
             return params2, opt_state2, metrics
 
-        jstep = jax.jit(
-            train_step,
-            in_shardings=(p_shard, o_shard, batch_sharding(self.mesh),
-                          rep, rep),
-            out_shardings=(p_shard, o_shard, rep),
-            donate_argnums=(0, 1))
+        if single:
+            jstep = jax.jit(train_step, donate_argnums=(0, 1))
+        else:
+            jstep = jax.jit(
+                train_step,
+                in_shardings=(p_shard, o_shard, batch_sharding(self.mesh),
+                              rep, rep),
+                out_shardings=(p_shard, o_shard, rep),
+                donate_argnums=(0, 1))
 
         # ---- loop (optional jax.profiler trace: SURVEY §5 'tracing' —
         # the reference has no profiling at all)
@@ -323,10 +333,14 @@ class Trainer:
             # batch sharded over 'data' like the train step — on an N-chip
             # mesh eval decodes N× wide instead of idling N-1 devices
             # (round-2 judge Weak #2); outputs replicated for host decode.
-            eval_fwd = self._eval_fwd = jax.jit(
-                task.eval_forward,
-                in_shardings=(None, batch_sharding(self.mesh)),
-                out_shardings=replicated(self.mesh))
+            # Single-device: plain jit (see the train-step sharding note).
+            if self.mesh.size == 1:
+                eval_fwd = self._eval_fwd = jax.jit(task.eval_forward)
+            else:
+                eval_fwd = self._eval_fwd = jax.jit(
+                    task.eval_forward,
+                    in_shardings=(None, batch_sharding(self.mesh)),
+                    out_shardings=replicated(self.mesh))
         from ..decoding import reference_decoder
         with self.mesh:
             for batch in pipe:
